@@ -1,0 +1,76 @@
+"""Minimizer unit tests — the numeric regression suite the reference
+lacks (SURVEY §4): known rigid transforms must be recovered exactly from
+synthetic pairs by every closed-form minimizer."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tpu3dtk.core import math3d
+from tpu3dtk.models import minimizers as mz
+
+
+def _make_pairs(rng, n=500, angle=0.3, trans=50.0):
+    d = rng.uniform(-100, 100, (n, 3)).astype(np.float32)
+    theta = rng.uniform(-angle, angle, 3)
+    t = rng.uniform(-trans, trans, 3)
+    T = np.asarray(math3d.euler_to_matrix4(t, theta), dtype=np.float32)
+    m = np.asarray(math3d.transform3(T, d), dtype=np.float32)
+    return m, d, T
+
+
+@pytest.mark.parametrize("name", ["quat", "svd", "ortho"])
+def test_exact_recovery(name, rng):
+    m, d, T_true = _make_pairs(rng)
+    w = np.ones(len(m), np.float32)
+    stats = mz.pair_stats(jnp.asarray(m), jnp.asarray(d), jnp.asarray(w))
+    T, err = mz.MINIMIZERS[name](stats)
+    np.testing.assert_allclose(np.asarray(T), T_true, atol=2e-3)
+    # residual after applying T is ~0
+    res = np.asarray(math3d.transform3(np.asarray(T), d)) - m
+    assert np.abs(res).max() < 0.1
+
+
+def test_apx_small_angle(rng):
+    m, d, T_true = _make_pairs(rng, angle=0.02, trans=5.0)
+    stats = mz.pair_stats(jnp.asarray(m), jnp.asarray(d), jnp.ones(len(m), jnp.float32))
+    T, err = mz.align_apx(stats)
+    res = np.asarray(math3d.transform3(np.asarray(T), d)) - m
+    assert np.abs(res).max() < 0.5
+
+
+def test_weighted_subset(rng):
+    """Zero-weight pairs must not affect the solution."""
+    m, d, T_true = _make_pairs(rng, n=200)
+    # append garbage pairs with weight 0
+    m2 = np.concatenate([m, rng.uniform(-1000, 1000, (50, 3)).astype(np.float32)])
+    d2 = np.concatenate([d, rng.uniform(-1000, 1000, (50, 3)).astype(np.float32)])
+    w = np.concatenate([np.ones(200), np.zeros(50)]).astype(np.float32)
+    stats = mz.pair_stats(jnp.asarray(m2), jnp.asarray(d2), jnp.asarray(w))
+    T, _ = mz.align_quat(stats)
+    np.testing.assert_allclose(np.asarray(T), T_true, atol=2e-3)
+
+
+def test_merge_stats_equals_global(rng):
+    """Langis partial merge == direct global stats (icp6Dminimizer.h:61-82)."""
+    m, d, _ = _make_pairs(rng, n=512)
+    w = (rng.uniform(size=512) > 0.3).astype(np.float32)
+    full = mz.pair_stats(jnp.asarray(m), jnp.asarray(d), jnp.asarray(w))
+    import jax
+    parts = [
+        mz.pair_stats(jnp.asarray(m[i : i + 128]), jnp.asarray(d[i : i + 128]), jnp.asarray(w[i : i + 128]))
+        for i in range(0, 512, 128)
+    ]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *parts)
+    merged = mz.merge_stats(stacked)
+    np.testing.assert_allclose(float(merged.n), float(full.n))
+    np.testing.assert_allclose(np.asarray(merged.S), np.asarray(full.S), rtol=1e-3, atol=1e-1)
+    np.testing.assert_allclose(np.asarray(merged.centroid_m), np.asarray(full.centroid_m), rtol=1e-5)
+
+
+def test_error_is_rms(rng):
+    m, d, _ = _make_pairs(rng, n=100, angle=0.0, trans=0.0)
+    d_noisy = d + 1.0  # unit offset in each axis => dist sqrt(3)
+    stats = mz.pair_stats(jnp.asarray(m), jnp.asarray(d_noisy), jnp.ones(100, jnp.float32))
+    _, err = mz.align_quat(stats)
+    np.testing.assert_allclose(float(err), np.sqrt(3.0), rtol=1e-4)

@@ -1,0 +1,84 @@
+"""NN kernel tests: equivalence with numpy brute force and the
+reference's kd boundary semantics (testing/kdtree/kdtree.cc:20-60:
+strict exclusion at exactly maxdist^2; nearest of several)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tpu3dtk.ops import nn
+
+
+def _np_nn(q, m, max_d2):
+    d2 = ((q[:, None, :] - m[None]) ** 2).sum(-1)
+    idx = d2.argmin(1)
+    best = d2[np.arange(len(q)), idx]
+    return idx, best, best < max_d2
+
+
+def test_brute_matches_numpy(rng):
+    q = rng.uniform(-100, 100, (257, 3)).astype(np.float32)
+    m = rng.uniform(-100, 100, (499, 3)).astype(np.float32)
+    qm = np.ones(len(q), bool)
+    mm = np.ones(len(m), bool)
+    idx, d2, found = nn.nn_brute(jnp.asarray(q), jnp.asarray(qm), jnp.asarray(m), jnp.asarray(mm), 400.0)
+    ridx, rd2, rfound = _np_nn(q, m, 400.0)
+    np.testing.assert_array_equal(np.asarray(found), rfound)
+    np.testing.assert_allclose(np.asarray(d2), rd2, rtol=1e-4, atol=1e-2)
+    # matched indices must point at equally-near points (ties allowed)
+    np.testing.assert_allclose(
+        np.linalg.norm(m[np.asarray(idx)] - q, axis=1)[rfound],
+        np.sqrt(rd2)[rfound],
+        rtol=1e-4, atol=1e-2,
+    )
+
+
+def test_boundary_exclusion():
+    """Point exactly at distance maxdist must NOT match (kdtree.cc:20-27)."""
+    q = jnp.asarray([[0.0, 0.0, 0.0]], jnp.float32)
+    m = jnp.asarray([[10.0, 0.0, 0.0]], jnp.float32)
+    one = jnp.ones(1, bool)
+    _, _, found = nn.nn_brute(q, one, m, one, 100.0)
+    assert not bool(found[0])
+    _, _, found = nn.nn_brute(q, one, m, one, 100.0001)
+    assert bool(found[0])
+
+
+def test_nearest_of_several():
+    """kdtree.cc:29-45: returns the true nearest among candidates."""
+    q = jnp.asarray([[0.0, 0.0, 0.0]], jnp.float32)
+    m = jnp.asarray(
+        [[5.0, 0, 0], [-3.0, 0, 0], [0, 4.0, 0], [0, 0, -2.0]], jnp.float32
+    )
+    one = jnp.ones(1, bool)
+    idx, d2, found = nn.nn_brute(q, one, m, jnp.ones(4, bool), 1e9)
+    assert bool(found[0])
+    assert int(idx[0]) == 3
+    np.testing.assert_allclose(float(d2[0]), 4.0, rtol=1e-6)
+
+
+def test_masked_model_points_ignored():
+    q = jnp.asarray([[0.0, 0.0, 0.0]], jnp.float32)
+    m = jnp.asarray([[1.0, 0, 0], [50.0, 0, 0]], jnp.float32)
+    mm = jnp.asarray([False, True])
+    idx, d2, found = nn.nn_brute(q, jnp.ones(1, bool), m, mm, 1e9)
+    assert int(idx[0]) == 1
+
+
+def test_grid_nn_matches_brute(rng):
+    m = rng.uniform(0, 200, (2000, 3)).astype(np.float32)
+    q = rng.uniform(0, 200, (513, 3)).astype(np.float32)
+    max_d = 15.0
+    cell = max_d
+    origin = jnp.zeros(3, jnp.float32)
+    dims = (14, 14, 14)  # ceil(200/15)
+    g = nn.build_grid(jnp.asarray(m), jnp.ones(len(m), bool), origin, cell, dims)
+    occ = int(jnp.max(jnp.diff(g.cell_start)))
+    idx, d2, found = nn.nn_grid(
+        jnp.asarray(q), jnp.ones(len(q), bool), g, max_d**2, dims, bucket_cap=max(occ, 1)
+    )
+    ridx, rd2, rfound = _np_nn(q, m, max_d**2)
+    np.testing.assert_array_equal(np.asarray(found), rfound)
+    np.testing.assert_allclose(np.asarray(d2)[rfound], rd2[rfound], rtol=1e-4, atol=1e-2)
+    # matched model point identical
+    np.testing.assert_array_equal(np.asarray(idx)[rfound], ridx[rfound])

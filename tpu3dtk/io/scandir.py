@@ -1,0 +1,157 @@
+"""Scan directory reading: the equivalent of ``Scan::openDirectory`` +
+``ScanIO::readDirectory/readPose/readScan`` (ref include/scanio/scan_io.h:30-119,
+src/slam6d/basicScan.cc:39-124).
+
+Host-side, numpy-backed.  Point filters mirror the reference's
+``PointFilter`` checker chain (include/slam6d/pointfilter.h:27-83):
+range/height/custom predicates applied at load time.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import re
+from typing import Iterator
+
+import numpy as np
+
+from .formats import FormatSpec, get_format, parse_scan_text
+
+__all__ = ["PointFilter", "RawScan", "read_scan_dir", "read_pose_file", "list_identifiers"]
+
+
+@dataclasses.dataclass
+class PointFilter:
+    """Load-time point filter chain (ref pointfilter.h:27-83).
+
+    All distances in cm, matching the reference flag semantics:
+    ``-m/--max`` range_max, ``-M/--min`` range_min, height via custom.
+    """
+
+    range_max: float | None = None  # max distance from scanner origin
+    range_min: float | None = None
+    height_top: float | None = None  # y axis (uos frame is y-up)
+    height_bottom: float | None = None
+    scale: float = 1.0  # applied to xyz before filtering
+
+    def apply(self, xyz: np.ndarray) -> np.ndarray:
+        """Return boolean keep-mask for [N,3] points (local frame)."""
+        keep = np.ones(len(xyz), dtype=bool)
+        if self.range_max is not None:
+            keep &= np.einsum("ij,ij->i", xyz, xyz) <= self.range_max**2
+        if self.range_min is not None:
+            keep &= np.einsum("ij,ij->i", xyz, xyz) >= self.range_min**2
+        if self.height_top is not None:
+            keep &= xyz[:, 1] <= self.height_top
+        if self.height_bottom is not None:
+            keep &= xyz[:, 1] >= self.height_bottom
+        return keep
+
+
+@dataclasses.dataclass
+class RawScan:
+    """One scan as read from disk: local-frame points + channels + pose."""
+
+    identifier: str
+    channels: dict[str, np.ndarray]  # "xyz": [N,3] f64 local frame, ...
+    pose_pos: np.ndarray  # [3] from .pose (cm)
+    pose_theta: np.ndarray  # [3] radians
+    directory: str = ""
+
+    @property
+    def xyz(self) -> np.ndarray:
+        return self.channels["xyz"]
+
+    @property
+    def size(self) -> int:
+        return len(self.channels["xyz"])
+
+
+def read_pose_file(path: str) -> tuple[np.ndarray, np.ndarray]:
+    """Read a .pose file: line1 = x y z (cm), line2 = θx θy θz (degrees).
+    Returns (pos, theta_radians).  Ref: scanio helper readPose."""
+    vals = np.loadtxt(path, dtype=np.float64).reshape(-1)
+    if vals.size < 6:
+        raise ValueError(f"pose file {path} has {vals.size} < 6 values")
+    pos = vals[:3]
+    theta = np.deg2rad(vals[3:6])
+    return pos, theta
+
+
+def list_identifiers(directory: str, spec: FormatSpec, start: int = 0, end: int = -1) -> list[str]:
+    """Find scan identifiers (zero-padded numeric suffixes) present in the
+    directory, honoring [start, end] (ref readDirectory semantics)."""
+    pat = re.compile(
+        re.escape(spec.data_prefix) + r"(\d+)" + re.escape(spec.data_suffix) + r"$"
+    )
+    ids = []
+    for fn in sorted(os.listdir(directory)):
+        m = pat.match(fn)
+        if m:
+            num = int(m.group(1))
+            if num < start:
+                continue
+            if end >= 0 and num > end:
+                continue
+            ids.append(m.group(1))
+    ids.sort(key=lambda s: int(s))
+    return ids
+
+
+def _load_data_file(path: str, spec: FormatSpec) -> np.ndarray:
+    """Fast-ish whitespace table loader."""
+    with open(path, "rb") as f:
+        for _ in range(spec.skip_header_lines):
+            f.readline()
+        data = np.loadtxt(f, dtype=np.float64, ndmin=2)
+    return data
+
+
+def read_scan(
+    directory: str,
+    identifier: str,
+    spec: FormatSpec,
+    point_filter: PointFilter | None = None,
+) -> RawScan:
+    data_path = os.path.join(
+        directory, f"{spec.data_prefix}{identifier}{spec.data_suffix}"
+    )
+    pose_path = os.path.join(
+        directory, f"{spec.pose_prefix}{identifier}{spec.pose_suffix}"
+    )
+    raw = _load_data_file(data_path, spec)
+    channels = parse_scan_text(raw, spec)
+    if os.path.exists(pose_path):
+        pos, theta = read_pose_file(pose_path)
+    else:
+        pos = np.zeros(3)
+        theta = np.zeros(3)
+    if point_filter is not None:
+        if point_filter.scale != 1.0:
+            channels["xyz"] = channels["xyz"] * point_filter.scale
+        keep = point_filter.apply(channels["xyz"])
+        channels = {
+            k: (v[keep] if len(v) == len(keep) else v) for k, v in channels.items()
+        }
+    return RawScan(
+        identifier=identifier,
+        channels=channels,
+        pose_pos=pos,
+        pose_theta=theta,
+        directory=directory,
+    )
+
+
+def read_scan_dir(
+    directory: str,
+    format: str = "uos",
+    start: int = 0,
+    end: int = -1,
+    point_filter: PointFilter | None = None,
+) -> Iterator[RawScan]:
+    """Lazily yield scans from a directory (ref Scan::openDirectory,
+    scan.h:157; points are read eagerly per scan, poses with them)."""
+    spec = get_format(format)
+    for ident in list_identifiers(directory, spec, start, end):
+        yield read_scan(directory, ident, spec, point_filter)

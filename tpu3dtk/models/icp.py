@@ -1,0 +1,136 @@
+"""ICP matching engine — the TPU-native ``icp6D`` (ref
+src/slam6d/icp6D.cc:104-285).
+
+Design (not a port): the reference's hot loop is a per-point kd-tree
+recursion inside an OpenMP region; here one jitted ``lax.while_loop``
+fuses, per iteration:
+
+  1. transform target points by the current pose (ref transformReduced,
+     scan.cc:851-873 — but we keep local points immutable and compose
+     the pose instead of mutating point storage),
+  2. batched NN search against the model points (ops.nn),
+  3. masked centered pair statistics (ref icp6D.cc:144-191),
+  4. a closed-form minimizer (models.minimizers),
+  5. pose update T <- align @ T (ref transformMatrix, scan.cc:878-898),
+  6. the two-delta convergence test
+     |err - prev| < eps and |err - prevprev| < eps (ref icp6D.cc:266-279).
+
+Pairing semantics match ``SearchTree::getPtPairs``
+(src/slam6d/searchTree.cc:91-188): model points live in the model's
+current global frame, target (data) points in the target's current
+estimate; matches beyond max_dist_match2 are rejected (strict <).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import math3d
+from ..ops import nn as nn_ops
+from . import minimizers as mz
+
+__all__ = ["IcpParams", "IcpResult", "icp_pair", "icp_step"]
+
+
+class IcpParams(NamedTuple):
+    max_dist_match2: float = 625.0  # -d 25 -> 25^2 (cm^2)
+    max_iterations: int = 50  # -i
+    epsilon: float = 1e-5  # --epsICP
+    minimizer: str = "quat"  # -a
+    subsample: int = 1  # rnd: take ~1/rnd of target points per iteration
+
+
+class IcpResult(NamedTuple):
+    T: jnp.ndarray  # [4,4] final pose of the target scan (global)
+    error: jnp.ndarray  # final RMS point-to-point error
+    iterations: jnp.ndarray  # iterations executed
+    n_pairs: jnp.ndarray  # pairs in last iteration
+
+
+def _pair_statistics(model, mmask, tgt_global, tmask, max_dist2):
+    idx, d2, found = nn_ops.nn_brute(tgt_global, tmask, model, mmask, max_dist2)
+    m_pts = model[idx]
+    w = found
+    return mz.pair_stats(m_pts, tgt_global, w)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_iterations", "minimizer")
+)
+def icp_pair(
+    model,
+    mmask,
+    target_local,
+    tmask,
+    T0,
+    *,
+    max_dist_match2,
+    epsilon,
+    max_iterations: int = 50,
+    minimizer: str = "quat",
+) -> IcpResult:
+    """Match one target scan against fixed model points.
+
+    model: [M,3] f32 model points in global frame; target_local: [N,3]
+    f32 target points in the target's **local** frame; T0: [4,4] initial
+    global pose of the target (transMatOrg composed with odometry
+    extrapolation, ref scan.cc:826-833).
+    """
+    model = model.astype(jnp.float32)
+    target_local = target_local.astype(jnp.float32)
+    T0 = T0.astype(jnp.float32)
+    align_fn = mz.MINIMIZERS[minimizer]
+    eps = jnp.float32(epsilon)
+
+    def cond(carry):
+        T, ret, prev, prev2, it, done, npairs = carry
+        return (~done) & (it < max_iterations)
+
+    def body(carry):
+        T, ret, prev, prev2, it, done, _ = carry
+        tgt_global = math3d.transform3(T, target_local).astype(jnp.float32)
+        stats = _pair_statistics(
+            model, mmask, tgt_global, tmask, jnp.float32(max_dist_match2)
+        )
+        enough = stats.n > 3
+        align, err = align_fn(stats)
+        align = jnp.where(enough, align, jnp.eye(4, dtype=jnp.float32))
+        T_new = align @ T
+        prev2_new = prev
+        prev_new = ret
+        ret_new = jnp.where(enough, err, ret)
+        conv = (jnp.abs(ret_new - prev_new) < eps) & (
+            jnp.abs(ret_new - prev2_new) < eps
+        )
+        done_new = conv | ~enough
+        return (T_new, ret_new, prev_new, prev2_new, it + 1, done_new, stats.n)
+
+    init = (
+        T0,
+        jnp.float32(0.0),
+        jnp.float32(0.0),
+        jnp.float32(0.0),
+        jnp.int32(0),
+        jnp.bool_(False),
+        jnp.float32(0.0),
+    )
+    T, ret, prev, prev2, it, done, npairs = jax.lax.while_loop(cond, body, init)
+    return IcpResult(T=T, error=ret, iterations=it, n_pairs=npairs)
+
+
+@functools.partial(jax.jit, static_argnames=("minimizer",))
+def icp_step(model, mmask, target_local, tmask, T, max_dist_match2, *, minimizer="quat"):
+    """One un-rolled ICP iteration (building block for the graft entry
+    point and for schedulers that interleave steps across scan pairs)."""
+    tgt_global = math3d.transform3(T, target_local).astype(jnp.float32)
+    stats = _pair_statistics(
+        model, mmask, tgt_global, tmask, jnp.float32(max_dist_match2)
+    )
+    align, err = mz.MINIMIZERS[minimizer](stats)
+    ok = stats.n > 3
+    align = jnp.where(ok, align, jnp.eye(4, dtype=jnp.float32))
+    return align @ T, err, stats.n

@@ -1,0 +1,125 @@
+"""Sequential registration driver — the TPU-native ``icp6D::doICP``
+(ref src/slam6d/icp6D.cc:374-437) over a scan sequence, with odometry
+extrapolation (``Scan::mergeCoordinatesWithRoboterPosition``,
+scan.cc:826-833) and metascan mode (MetaScan union of previously
+registered scans, include/slam6d/metaScan.h:41-71).
+
+Host orchestration is a thin Python loop; all heavy work is the jitted
+:func:`tpu3dtk.models.icp.icp_pair`.  Shapes are bucketed: every scan's
+reduced points are padded to one sequence-wide cap so each (model_cap,
+target_cap) pair compiles exactly once.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..core import math3d
+from ..core.scan import TPUScan
+from ..io.frames import AlgoType
+from . import icp as icp_mod
+
+__all__ = ["SequenceRegistration", "register_sequence"]
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+@dataclasses.dataclass
+class SequenceRegistration:
+    """Registration run over an ordered scan list."""
+
+    params: icp_mod.IcpParams = dataclasses.field(default_factory=icp_mod.IcpParams)
+    metascan: bool = False  # ref --metascan
+    max_num_metascans: int = 0  # keep only last n scans in the meta model
+    extrapolate_odometry: bool = True  # ref -e / eP flag (default on)
+    pad_multiple: int = 512
+
+    def run(self, scans: list[TPUScan]) -> list[dict]:
+        """Register scans sequentially.  Mutates scan poses and frames.
+        Returns per-match info dicts."""
+        if not scans:
+            return []
+        cap = _round_up(
+            max(len(s.reduced_local()) for s in scans), self.pad_multiple
+        )
+        results = []
+        # frame bookkeeping mirrors reference transform(islum=0): every
+        # match event appends a frame to every scan (ICP for current,
+        # ICPINACTIVE for already-registered, INVALID for future scans)
+        for i, cur in enumerate(scans):
+            if i == 0:
+                continue
+            prev = scans[i - 1]
+            if self.extrapolate_odometry:
+                # deltaMat = prev.transMat @ inv(prev.transMatOrg)
+                delta = prev.transMat @ np.asarray(
+                    math3d.m4inv(prev.transMatOrg)
+                )
+                cur.transform(delta, AlgoType.INVALID, record=False)
+
+            if self.metascan:
+                lo = 0
+                if self.max_num_metascans > 0:
+                    lo = max(0, i - self.max_num_metascans)
+                model_scans = scans[lo:i]
+            else:
+                model_scans = [prev]
+
+            mcap = _round_up(cap * len(model_scans), self.pad_multiple)
+            model_pts = np.zeros((mcap, 3), dtype=np.float32)
+            model_mask = np.zeros(mcap, dtype=bool)
+            o = 0
+            for ms in model_scans:
+                g = np.asarray(
+                    math3d.transform3(ms.transMat, ms.reduced_local())
+                )
+                model_pts[o : o + len(g)] = g
+                model_mask[o : o + len(g)] = True
+                o += len(g)
+
+            tgt_pts, tgt_mask = cur.reduced_padded(cap)
+            res = icp_mod.icp_pair(
+                model_pts,
+                model_mask,
+                tgt_pts,
+                tgt_mask,
+                cur.transMat.astype(np.float32),
+                max_dist_match2=self.params.max_dist_match2,
+                epsilon=self.params.epsilon,
+                max_iterations=self.params.max_iterations,
+                minimizer=self.params.minimizer,
+            )
+            T_new = np.asarray(res.T, dtype=np.float64)
+            # orthonormalize the accumulated f32 rotation before storing
+            R = T_new[:3, :3]
+            u, _, vt = np.linalg.svd(R)
+            T_new[:3, :3] = u @ vt
+            cur.set_pose(T_new, AlgoType.ICP)
+            for j, other in enumerate(scans):
+                if other is cur:
+                    continue
+                other.add_frame(
+                    AlgoType.ICPINACTIVE if j < i else AlgoType.INVALID
+                )
+            results.append(
+                {
+                    "identifier": cur.identifier,
+                    "iterations": int(res.iterations),
+                    "error": float(res.error),
+                    "pairs": int(res.n_pairs),
+                }
+            )
+        return results
+
+
+def register_sequence(scans: list[TPUScan], **kwargs) -> list[dict]:
+    params_keys = icp_mod.IcpParams._fields
+    params = icp_mod.IcpParams(
+        **{k: v for k, v in kwargs.items() if k in params_keys}
+    )
+    driver_kwargs = {k: v for k, v in kwargs.items() if k not in params_keys}
+    return SequenceRegistration(params=params, **driver_kwargs).run(scans)

@@ -1,0 +1,171 @@
+"""Nearest-neighbor correspondence search — the centerpiece kernel.
+
+Replaces the reference's pointer-chasing kd-tree
+(``KDTreeImpl::_FindClosest``, include/slam6d/kdTreeImpl.h:345-389 — the
+hottest loop of the whole toolkit per SURVEY §3) with dense, batched
+TPU-friendly search:
+
+- :func:`nn_brute`: tiled brute force.  d²(q, m) = |q|² + |m|² − 2 q·m,
+  with the cross term as a [Q,3]x[3,M] matmul on the MXU, running
+  min/argmin across model tiles.  Exact; right for M up to ~100k.
+- :func:`nn_grid`: uniform-grid bucketed search (the TPU analog of the
+  reference's CUDA grid NN, src/cuda/grid_kernel.cu:314-420): model
+  points are bucketed into cells of edge ``max_dist``, queries scan the
+  27 neighboring buckets only.  O(Q·27·B) instead of O(Q·M).
+
+Semantics shared with the reference kd-tree: a match is accepted only if
+d² is strictly below ``max_dist2`` (ref kd params: closest_d2 initialised
+to maxdist2, accepted when d2 < closest_d2; boundary exclusion is tested
+in testing/kdtree/kdtree.cc:20-27).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["nn_brute", "nn_grid", "GridIndex", "build_grid"]
+
+
+def _pairwise_d2(q, m):
+    """[Q,3],[M,3] -> [Q,M] squared distances via MXU matmul."""
+    cross = jnp.dot(q, m.T, preferred_element_type=jnp.float32)
+    q2 = jnp.sum(q * q, axis=1, keepdims=True)
+    m2 = jnp.sum(m * m, axis=1, keepdims=True).T
+    return q2 + m2 - 2.0 * cross
+
+
+@functools.partial(jax.jit, static_argnames=("q_tile",))
+def nn_brute(query, qmask, model, mmask, max_dist2, q_tile: int = 2048):
+    """Exact NN of each query point among masked model points.
+
+    query: [Q,3] f32; model: [M,3] f32; masks bool.
+    Returns (idx [Q] int32, d2 [Q] f32, found [Q] bool) where found
+    requires d2 < max_dist2 (strict, matching the reference boundary
+    semantics) and both masks.
+    """
+    Q = query.shape[0]
+    q_tile = min(q_tile, Q)
+    pad = (-Q) % q_tile
+    qp = jnp.pad(query, ((0, pad), (0, 0)))
+    big = jnp.float32(3.4e38)
+    minf = jnp.where(mmask, 0.0, big)[None, :]
+
+    def one_tile(qt):
+        d2 = _pairwise_d2(qt, model) + minf
+        idx = jnp.argmin(d2, axis=1).astype(jnp.int32)
+        best = jnp.take_along_axis(d2, idx[:, None].astype(jnp.int64), axis=1)[:, 0]
+        return idx, best
+
+    qtiles = qp.reshape(-1, q_tile, 3)
+    idx, best = jax.lax.map(one_tile, qtiles)
+    idx = idx.reshape(-1)[:Q]
+    best = best.reshape(-1)[:Q]
+    found = qmask & (best < max_dist2)
+    return idx, best, found
+
+
+# ---------------------------------------------------------------------------
+# Uniform-grid NN (TPU analog of the reference CUDA grid, grid_kernel.cu)
+# ---------------------------------------------------------------------------
+
+from typing import NamedTuple
+
+
+class GridIndex(NamedTuple):
+    """Bucketed model points: sorted copies + per-cell CSR offsets."""
+
+    points: jnp.ndarray  # [M, 3] sorted by cell id
+    src_idx: jnp.ndarray  # [M] original index of each sorted point
+    cell_of: jnp.ndarray  # [M] cell id of each sorted point
+    cell_start: jnp.ndarray  # [C+1] CSR offsets into points
+    origin: jnp.ndarray  # [3]
+    dims: tuple[int, int, int]  # static grid dims
+    cell: jnp.ndarray  # scalar cell edge
+
+
+def _cell_id(ij, dims):
+    nx, ny, nz = dims
+    return (ij[..., 0] * ny + ij[..., 1]) * nz + ij[..., 2]
+
+
+@functools.partial(jax.jit, static_argnames=("dims",))
+def build_grid(model, mmask, origin, cell, dims) -> GridIndex:
+    """Sort model points by cell id and build CSR offsets.
+
+    dims must be static (host computes from the bounding box / cell).
+    Masked points land in the last cell (excluded from search since the
+    query clamp keeps neighbors in-range only via the offset table).
+    """
+    nx, ny, nz = dims
+    C = nx * ny * nz
+    ij = jnp.floor((model - origin) / cell).astype(jnp.int32)
+    ij = jnp.clip(ij, 0, jnp.array([nx - 1, ny - 1, nz - 1]))
+    cid = _cell_id(ij, dims)
+    cid = jnp.where(mmask, cid, C)  # masked -> sentinel cell C
+    order = jnp.argsort(cid)
+    cid_s = cid[order]
+    pts_s = model[order]
+    # CSR: cell_start[c] = first sorted position with cell id >= c
+    cell_start = jnp.searchsorted(cid_s, jnp.arange(C + 1))
+    return GridIndex(
+        points=pts_s,
+        src_idx=order.astype(jnp.int32),
+        cell_of=cid_s,
+        cell_start=cell_start,
+        origin=origin,
+        dims=dims,
+        cell=cell,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("dims", "bucket_cap"))
+def nn_grid(
+    query,
+    qmask,
+    grid: GridIndex,
+    max_dist2,
+    dims,
+    bucket_cap: int = 32,
+):
+    """Grid NN: for each query, gather up to ``bucket_cap`` candidates
+    from each of the 27 neighboring cells and take the arg-min.
+
+    Exact iff every cell holds <= bucket_cap model points (cell edge =
+    max_dist guarantees all true neighbors are inside the 27 cells, the
+    same argument as the reference CUDA kernel_FindNN 27-bucket search).
+    Callers should size bucket_cap from the true max occupancy (host-side
+    after build_grid) to keep exactness.
+    """
+    nx, ny, nz = dims
+    qij = jnp.floor((query - grid.origin) / grid.cell).astype(jnp.int32)
+    qij = jnp.clip(qij, 0, jnp.array([nx - 1, ny - 1, nz - 1]))
+
+    # [27, 3] neighbor offsets
+    off = jnp.stack(
+        jnp.meshgrid(*([jnp.arange(-1, 2)] * 3), indexing="ij"), axis=-1
+    ).reshape(27, 3)
+    nij = qij[:, None, :] + off[None, :, :]  # [Q, 27, 3]
+    inb = jnp.all((nij >= 0) & (nij < jnp.array([nx, ny, nz])), axis=-1)
+    nid = _cell_id(jnp.clip(nij, 0, jnp.array([nx - 1, ny - 1, nz - 1])), dims)
+    start = grid.cell_start[nid]  # [Q, 27]
+    end = grid.cell_start[nid + 1]
+    # candidate sorted-array positions: start + k, k < bucket_cap
+    k = jnp.arange(bucket_cap)
+    pos = start[..., None] + k  # [Q, 27, B]
+    valid = inb[..., None] & (pos < end[..., None])
+    M = grid.points.shape[0]
+    pos_c = jnp.clip(pos, 0, M - 1).reshape(query.shape[0], -1)
+    valid = valid.reshape(query.shape[0], -1)
+    cand = grid.points[pos_c]  # [Q, 27B, 3]
+    diff = cand - query[:, None, :]
+    d2 = jnp.sum(diff * diff, axis=-1)
+    d2 = jnp.where(valid, d2, jnp.float32(3.4e38))
+    best = jnp.argmin(d2, axis=1)
+    bestd = jnp.take_along_axis(d2, best[:, None], axis=1)[:, 0]
+    sorted_idx = jnp.take_along_axis(pos_c, best[:, None], axis=1)[:, 0]
+    idx = grid.src_idx[sorted_idx]
+    found = qmask & (bestd < max_dist2)
+    return idx, bestd, found
