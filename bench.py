@@ -1,0 +1,124 @@
+"""Benchmark driver — prints ONE JSON line.
+
+Primary metric: ICP iterations/second/chip at 16k model x 16k target
+points (one iteration = full NN correspondence search + closed-form
+pose solve), the kernel speed-of-light measure named in BASELINE.json.
+Extras: end-to-end registration of the bundled dat/ sequence (scans/s),
+matching the reference's `Matching done in N ms` wall-time
+(src/slam6d/slam6D.cc:874-875).
+
+vs_baseline: ratio against the reference slam6D CPU wall-time on the
+same dat workload, read from BASELINE_MEASURED.json if present
+(produced by scripts/measure_reference.sh); 0.0 when not yet measured.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def bench_icp_step(M=16384, N=16384, iters=20):
+    import jax
+    import jax.numpy as jnp
+
+    from tpu3dtk.models import icp as icp_mod
+
+    rng = np.random.default_rng(0)
+    # realistic scan-like geometry: points on room walls, cm units
+    model = rng.uniform(-800, 800, (M, 3)).astype(np.float32)
+    target = (model[rng.permutation(N) % M] + rng.normal(0, 5, (N, 3))).astype(
+        np.float32
+    )
+    model_j = jnp.asarray(model)
+    target_j = jnp.asarray(target)
+    mmask = jnp.ones(M, bool)
+    tmask = jnp.ones(N, bool)
+    T = jnp.eye(4, dtype=jnp.float32)
+
+    # warmup/compile
+    T1, err, n = icp_mod.icp_step(model_j, mmask, target_j, tmask, T, 625.0)
+    jax.block_until_ready(T1)
+    t0 = time.perf_counter()
+    Tc = T
+    for _ in range(iters):
+        Tc, err, n = icp_mod.icp_step(model_j, mmask, target_j, tmask, Tc, 625.0)
+    jax.block_until_ready(Tc)
+    dt = time.perf_counter() - t0
+    return iters / dt, dt / iters
+
+
+def bench_dat_registration():
+    dat = "/root/reference/dat"
+    if not os.path.isdir(dat):
+        return None
+    from tpu3dtk.core.scan import TPUScan
+    from tpu3dtk.io.scandir import PointFilter, read_scan_dir
+    from tpu3dtk.models.icp import IcpParams
+    from tpu3dtk.models.sequence import SequenceRegistration
+
+    scans = []
+    for raw in read_scan_dir(dat, format="uos", point_filter=PointFilter(range_max=500.0)):
+        s = TPUScan.from_raw(raw)
+        s.set_reduction(10.2, 1)
+        scans.append(s)
+    for s in scans:
+        s.reduced_local()  # host-side load+reduce excluded from timing
+    reg = SequenceRegistration(
+        params=IcpParams(max_dist_match2=625.0, max_iterations=50, epsilon=1e-7),
+        metascan=True,
+    )
+    # warmup (compile)
+    import copy
+
+    warm = [
+        TPUScan.from_points(s.reduced_local(), s.identifier, s.transMatOrg)
+        for s in scans
+    ]
+    for w, s in zip(warm, scans):
+        w._reduced_local = s.reduced_local()
+    SequenceRegistration(
+        params=reg.params, metascan=True
+    ).run(warm)
+    t0 = time.perf_counter()
+    reg.run(scans)
+    dt = time.perf_counter() - t0
+    return {"scans": len(scans), "wall_s": dt, "scans_per_s": len(scans) / dt}
+
+
+def main():
+    iters_per_s, s_per_iter = bench_icp_step()
+    extra = {"s_per_icp_iter_16k": round(s_per_iter, 5)}
+    dat = bench_dat_registration()
+    vs_baseline = 0.0
+    if dat:
+        extra.update(
+            dat_scans_per_s=round(dat["scans_per_s"], 3),
+            dat_matching_ms=round(dat["wall_s"] * 1000.0, 1),
+        )
+        mpath = os.path.join(REPO, "BASELINE_MEASURED.json")
+        if os.path.exists(mpath):
+            ref = json.load(open(mpath))
+            ref_ms = ref.get("dat_matching_ms")
+            if ref_ms:
+                vs_baseline = round(ref_ms / (dat["wall_s"] * 1000.0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "icp_iters_per_s_16kx16k",
+                "value": round(iters_per_s, 2),
+                "unit": "iters/s/chip",
+                "vs_baseline": vs_baseline,
+                "extra": extra,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

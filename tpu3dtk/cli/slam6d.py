@@ -1,0 +1,160 @@
+"""``tpuslam`` — drop-in style CLI mirroring the reference ``slam6D``
+driver's core flags (ref src/slam6d/slam6D.cc:158-367 option table) so
+published invocations (README.md:66-103) translate directly.
+
+Implemented flags (same letters/longs as the reference):
+  -s/--start -e/--end  scan range
+  -f/--format          scan format (uos, uosr, xyz, ...)
+  -m/--max -M/--min    range filters (cm)
+  -r/--reduce          octree/voxel reduction voxel size
+  -O/--octree          pts per voxel for randomized reduction
+  -R/--random          per-iteration random point subsampling
+  -d/--dist            ICP max match distance (cm)
+  -i/--iter            max ICP iterations
+  --epsICP             ICP convergence epsilon
+  -a/--algo            minimizer 1=quat 2=svd 3=ortho 6=apx
+  --metascan           match against union of previous scans
+  -G/--graphSlam6DAlgo 1 enables LUM GraphSLAM relaxation
+  -I/--iterSLAM        max LUM outer iterations
+  -D/--distSLAM        max match distance for LUM (cm)
+  --epsSLAM            LUM convergence epsilon
+  -L/--loop6DAlgo      4 = ELCH slerp loop closure
+  --cldist             loop-closing distance
+  --loopsize           min scans between loop ends
+  --exportAllPoints    write registered cloud points.pts
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+
+ALGO_NAMES = {1: "quat", 2: "svd", 3: "ortho", 6: "apx"}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="tpuslam",
+        description="TPU-native 6D SLAM (capabilities of 3DTK slam6D)",
+    )
+    p.add_argument("dir", help="scan directory")
+    p.add_argument("-s", "--start", type=int, default=0)
+    p.add_argument("-e", "--end", type=int, default=-1)
+    p.add_argument("-f", "--format", default="uos")
+    p.add_argument("-m", "--max", type=float, default=-1, dest="max_range")
+    p.add_argument("-M", "--min", type=float, default=-1, dest="min_range")
+    p.add_argument("-r", "--reduce", type=float, default=-1.0)
+    p.add_argument("-O", "--octree", type=int, default=1)
+    p.add_argument("-R", "--random", type=int, default=-1)
+    p.add_argument("-d", "--dist", type=float, default=25.0)
+    p.add_argument("-i", "--iter", type=int, default=50)
+    p.add_argument("--epsICP", type=float, default=1e-5)
+    p.add_argument("-a", "--algo", type=int, default=1)
+    p.add_argument("--metascan", action="store_true")
+    p.add_argument("-G", "--graphSlam6DAlgo", type=int, default=0)
+    p.add_argument("-I", "--iterSLAM", type=int, default=50)
+    p.add_argument("-D", "--distSLAM", type=float, default=25.0)
+    p.add_argument("--epsSLAM", type=float, default=0.5)
+    p.add_argument("-L", "--loop6DAlgo", type=int, default=0)
+    p.add_argument("--cldist", type=float, default=500.0)
+    p.add_argument("--loopsize", type=int, default=20)
+    p.add_argument("-q", "--quiet", action="store_true")
+    p.add_argument("--exportAllPoints", action="store_true")
+    p.add_argument("--frames-out", default=None, help="directory for .frames (default: scan dir)")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from ..core.scan import TPUScan
+    from ..io import frames as frames_io
+    from ..io.scandir import PointFilter, read_scan_dir
+    from ..models.icp import IcpParams
+    from ..models.sequence import SequenceRegistration
+    from ..utils.metrics import metrics, MATCHING, SCAN_LOAD
+
+    pf = PointFilter(
+        range_max=args.max_range if args.max_range > 0 else None,
+        range_min=args.min_range if args.min_range > 0 else None,
+    )
+    with metrics.time(SCAN_LOAD):
+        scans = []
+        for raw in read_scan_dir(
+            args.dir, format=args.format, start=args.start, end=args.end,
+            point_filter=pf,
+        ):
+            s = TPUScan.from_raw(raw)
+            s.set_reduction(args.reduce, args.octree if args.reduce > 0 else 0)
+            scans.append(s)
+    if not scans:
+        print(f"no scans found in {args.dir}", file=sys.stderr)
+        return 1
+    if not args.quiet:
+        print(f"loaded {len(scans)} scans from {args.dir}")
+
+    params = IcpParams(
+        max_dist_match2=args.dist**2,
+        max_iterations=args.iter,
+        epsilon=args.epsICP,
+        minimizer=ALGO_NAMES.get(args.algo, "quat"),
+        subsample=max(args.random, 1),
+    )
+    t0 = time.perf_counter()
+    with metrics.time(MATCHING):
+        if args.graphSlam6DAlgo > 0 or args.loop6DAlgo > 0:
+            from ..models.graph_pipeline import GraphPipeline
+
+            pipe = GraphPipeline(
+                icp_params=params,
+                metascan=args.metascan,
+                lum_max_dist2=args.distSLAM**2 if args.distSLAM > 0 else args.dist**2,
+                lum_iterations=args.iterSLAM,
+                lum_epsilon=args.epsSLAM,
+                elch=args.loop6DAlgo == 4,
+                cldist=args.cldist,
+                loopsize=args.loopsize,
+            )
+            results = pipe.run(scans)
+        else:
+            reg = SequenceRegistration(params=params, metascan=args.metascan)
+            results = reg.run(scans)
+    dt = (time.perf_counter() - t0) * 1000.0
+    for r in results:
+        if not args.quiet:
+            print(
+                f"scan {r['identifier']}: ITER {r.get('iterations','-')} "
+                f"err {r.get('error', float('nan')):.4f} pairs {r.get('pairs','-')}"
+            )
+    # ref slam6D.cc:874-875
+    print(f"Matching done in {dt:.0f} milliseconds!!!")
+
+    out_dir = args.frames_out or args.dir
+    try:
+        for s in scans:
+            mats = np.stack([f[0] for f in s.frames])
+            types = [f[1] for f in s.frames]
+            frames_io.write_frames(
+                frames_io.frames_path(out_dir, s.identifier), mats, types
+            )
+    except OSError as e:
+        print(f"cannot write .frames to {out_dir}: {e}", file=sys.stderr)
+
+    if args.exportAllPoints:
+        from ..io.writer import write_uos
+
+        pts = np.concatenate([s.points_global() for s in scans], axis=0)
+        write_uos(os.path.join(out_dir, "points.pts"), pts)
+
+    if not args.quiet:
+        print(metrics.report())
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -59,7 +59,7 @@ def _pair_statistics(model, mmask, tgt_global, tmask, max_dist2):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_iterations", "minimizer")
+    jax.jit, static_argnames=("max_iterations", "minimizer", "subsample")
 )
 def icp_pair(
     model,
@@ -72,6 +72,8 @@ def icp_pair(
     epsilon,
     max_iterations: int = 50,
     minimizer: str = "quat",
+    subsample: int = 1,
+    seed: int = 0,
 ) -> IcpResult:
     """Match one target scan against fixed model points.
 
@@ -79,12 +81,17 @@ def icp_pair(
     f32 target points in the target's **local** frame; T0: [4,4] initial
     global pose of the target (transMatOrg composed with odometry
     extrapolation, ref scan.cc:826-833).
+
+    subsample = the reference's ``rnd`` (-R): each iteration uses a
+    fresh ~1/subsample random subset of target points
+    (searchTree.cc:54-55 ``rand(rnd) != 0 -> skip``).
     """
     model = model.astype(jnp.float32)
     target_local = target_local.astype(jnp.float32)
     T0 = T0.astype(jnp.float32)
     align_fn = mz.MINIMIZERS[minimizer]
     eps = jnp.float32(epsilon)
+    key0 = jax.random.PRNGKey(seed)
 
     def cond(carry):
         T, ret, prev, prev2, it, done, npairs = carry
@@ -92,9 +99,17 @@ def icp_pair(
 
     def body(carry):
         T, ret, prev, prev2, it, done, _ = carry
+        if subsample > 1:
+            k = jax.random.fold_in(key0, it)
+            keep = (
+                jax.random.randint(k, tmask.shape, 0, subsample) == 0
+            )
+            it_mask = tmask & keep
+        else:
+            it_mask = tmask
         tgt_global = math3d.transform3(T, target_local).astype(jnp.float32)
         stats = _pair_statistics(
-            model, mmask, tgt_global, tmask, jnp.float32(max_dist_match2)
+            model, mmask, tgt_global, it_mask, jnp.float32(max_dist_match2)
         )
         enough = stats.n > 3
         align, err = align_fn(stats)

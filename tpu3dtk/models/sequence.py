@@ -92,6 +92,8 @@ class SequenceRegistration:
                 epsilon=self.params.epsilon,
                 max_iterations=self.params.max_iterations,
                 minimizer=self.params.minimizer,
+                subsample=self.params.subsample,
+                seed=i,
             )
             T_new = np.asarray(res.T, dtype=np.float64)
             # orthonormalize the accumulated f32 rotation before storing

@@ -29,7 +29,7 @@ from ..models import minimizers as mz
 from ..models.icp import IcpResult
 from ..ops import nn as nn_ops
 
-__all__ = ["icp_pair_sharded", "shard_target"]
+__all__ = ["icp_pair_sharded", "icp_step_batch_sharded", "shard_target"]
 
 
 def shard_target(mesh, target, tmask, axis: str = "points"):
@@ -123,7 +123,7 @@ def icp_pair_sharded(
         mesh=mesh,
         in_specs=(P(), P(), P(axis, None), P(axis), P()),
         out_specs=(P(), P(), P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     T, ret, it, npairs = jax.jit(fn)(
         jnp.asarray(model, jnp.float32),
@@ -133,3 +133,61 @@ def icp_pair_sharded(
         jnp.asarray(T0, jnp.float32),
     )
     return IcpResult(T=T, error=ret, iterations=it, n_pairs=npairs)
+
+
+def icp_step_batch_sharded(
+    mesh,
+    models,
+    mmasks,
+    targets,
+    tmasks,
+    Ts,
+    *,
+    max_dist_match2: float,
+    minimizer: str = "quat",
+):
+    """One ICP iteration over a *batch* of scan pairs on a 2-D mesh:
+
+    - ``scans`` axis: scan pairs data-parallel (independent problems)
+    - ``points`` axis: each pair's target points sharded; pair partials
+      psum over ``points`` only.
+
+    models: [B, M, 3] (replicated over points), targets: [B, N, 3]
+    (sharded over points), Ts: [B, 4, 4].  B must divide the scans axis,
+    N the points axis.  This is the full multi-chip registration step
+    the driver dry-runs.
+    """
+    align_fn = mz.MINIMIZERS[minimizer]
+    md2 = jnp.float32(max_dist_match2)
+
+    def one_pair(model, mmask, tgt, tmsk, T):
+        tgt_global = math3d.transform3(T, tgt).astype(jnp.float32)
+        stats = _global_stats(model, mmask, tgt_global, tmsk, md2, "points")
+        enough = stats.n > 3
+        align, err = align_fn(stats)
+        align = jnp.where(enough, align, jnp.eye(4, dtype=jnp.float32))
+        return align @ T, err, stats.n
+
+    def shard_fn(models, mmasks, targets, tmasks, Ts):
+        return jax.vmap(one_pair)(models, mmasks, targets, tmasks, Ts)
+
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(
+            P("scans", None, None),
+            P("scans", None),
+            P("scans", "points", None),
+            P("scans", "points"),
+            P("scans", None, None),
+        ),
+        out_specs=(P("scans", None, None), P("scans"), P("scans")),
+        check_vma=False,
+    )
+    return jax.jit(fn)(
+        jnp.asarray(models, jnp.float32),
+        jnp.asarray(mmasks),
+        jnp.asarray(targets, jnp.float32),
+        jnp.asarray(tmasks),
+        jnp.asarray(Ts, jnp.float32),
+    )
