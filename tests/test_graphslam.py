@@ -1,0 +1,117 @@
+"""LUM GraphSLAM tests: the numeric regression suite the reference
+lacks (SURVEY §4) — known pose noise on a loop of scans must shrink."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tpu3dtk.core import math3d
+from tpu3dtk.core.scan import TPUScan
+from tpu3dtk.models import graphslam as gs
+from tests.conftest import make_room_cloud
+
+
+def test_build_proximity_graph():
+    pos = np.array(
+        [[0, 0, 0], [100, 0, 0], [200, 0, 0], [200, 100, 0], [5, 5, 0]],
+        dtype=float,
+    )
+    links = gs.build_proximity_graph(pos, cldist2=50.0**2, loopsize=2)
+    link_set = {tuple(l) for l in links.tolist()}
+    # consecutive chain
+    assert {(0, 1), (1, 2), (2, 3), (3, 4)} <= link_set
+    # proximity loop 0-4 (|4-0| > 2, dist ~7)
+    assert (0, 4) in link_set
+    # no long-distance link 0-2
+    assert (0, 2) not in link_set
+
+
+def _ring_scans(rng, n=5, noise_t=3.0, noise_r=0.01):
+    """Scans around a ring viewing one world cloud; ground truth poses
+    on the ring, odometry-noised initial poses, scan 0 fixed."""
+    world = make_room_cloud(rng, n=3000, size=800.0)
+    scans, true_poses = [], []
+    for k in range(n):
+        ang = 0.25 * k
+        pos = np.array([300 * np.cos(ang), 0.0, 300 * np.sin(ang)])
+        theta = np.array([0.0, 0.1 * k, 0.0])
+        T_true = np.asarray(math3d.euler_to_matrix4(pos, theta))
+        true_poses.append(T_true)
+        local = np.asarray(math3d.transform3(math3d.m4inv(T_true), world))
+        if k == 0:
+            T0 = T_true
+        else:
+            nt = rng.uniform(-noise_t, noise_t, 3)
+            nr = rng.uniform(-noise_r, noise_r, 3)
+            T0 = np.asarray(math3d.euler_to_matrix4(nt, nr)) @ T_true
+        s = TPUScan.from_points(local, f"{k:03d}", pose=T0)
+        s.set_reduction(15.0, 1)
+        scans.append(s)
+    return scans, true_poses
+
+
+def _pose_err(scans, true_poses):
+    return np.mean(
+        [
+            np.linalg.norm(s.transMat[:3, 3] - T[:3, 3])
+            for s, T in zip(scans, true_poses)
+        ]
+    )
+
+
+def test_lum_reduces_pose_error(rng):
+    scans, true_poses = _ring_scans(rng)
+    before = _pose_err(scans, true_poses)
+    links = gs.build_proximity_graph(
+        np.stack([s.rPos for s in scans]), cldist2=1e9, loopsize=0
+    )
+    ret = gs.do_graph_slam(
+        scans, links, gs.LumParams(max_dist_match2=2500.0, iterations=25, epsilon=0.01)
+    )
+    after = _pose_err(scans, true_poses)
+    assert after < before * 0.5, (before, after)
+    assert ret < 1.0
+
+
+def test_lum_identity_is_stable(rng):
+    """Perfect poses: LUM must not move them."""
+    scans, true_poses = _ring_scans(rng, noise_t=0.0, noise_r=0.0)
+    links = gs.build_proximity_graph(
+        np.stack([s.rPos for s in scans]), cldist2=1e9, loopsize=0
+    )
+    gs.do_graph_slam(
+        scans, links, gs.LumParams(max_dist_match2=2500.0, iterations=3, epsilon=1e-6)
+    )
+    assert _pose_err(scans, true_poses) < 0.5
+
+
+def test_link_covariance_identity_pair(rng):
+    """Same cloud twice: pose difference estimate D ~ 0 and the
+    identical-cloud guard (ss < 1e-13 -> C = 0) triggers."""
+    cloud = make_room_cloud(rng, n=1000)
+    k = len(cloud)
+    pts = np.zeros((2, 1024, 3), np.float32)
+    msk = np.zeros((2, 1024), bool)
+    pts[0, :k] = cloud
+    pts[1, :k] = cloud
+    msk[:, :k] = True
+    links = np.array([[0, 1]], np.int32)
+    C, CD, m = gs.link_covariances(
+        jnp.asarray(pts), jnp.asarray(msk), jnp.asarray(links), jnp.float32(2500.0)
+    )
+    assert float(m[0]) == float(k)
+    np.testing.assert_allclose(np.asarray(C[0]), 0.0, atol=1e-5)
+
+
+def test_frames_tagged_lum(rng):
+    scans, _ = _ring_scans(rng, n=3)
+    links = gs.build_proximity_graph(
+        np.stack([s.rPos for s in scans]), cldist2=1e9, loopsize=0
+    )
+    gs.do_graph_slam(
+        scans, links, gs.LumParams(max_dist_match2=2500.0, iterations=2, epsilon=1e-9)
+    )
+    from tpu3dtk.io.frames import AlgoType
+
+    assert scans[1].frames[-1][1] == int(AlgoType.LUM)
+    assert len({len(s.frames) for s in scans}) == 1

@@ -1,0 +1,271 @@
+"""ELCH — Explicit Loop Closing Heuristic (slerp variant), the TPU-native
+``elch6Dslerp`` (ref src/slam6d/elch6Dslerp.cc:44-200) with the
+Dijkstra-based error-distribution weights of ``elch6D::graph_balancer``
+(src/slam6d/elch6D.cc:186-280).
+
+Pipeline on loop detection (first, last):
+1. per-edge weights from pose-graph covariances: 4 weight graphs (x, y,
+   z translation variances + summed rotation variance) from the inverse
+   link covariance diagonals (ref elch6Dslerp.cc:57-83; the reference
+   uses the quaternion 7x7 covariance — we use the euler 6x6 from the
+   same batched LUM kernel, an equivalent uncertainty scale).
+2. graph_balancer: distribute weight 0 at `first` → 1 at `last` along
+   shortest paths; branches inherit their junction's weight.
+3. ICP-match a metascan around `first` against one around `last`
+   (window sizes first±2, last-2..last, ref elch6Dslerp.cc:93-110).
+4. slerp-interpolate the resulting correction over every scan by its
+   weight (elch6Dslerp.cc:150-180).
+
+The graph algorithms run on host (tiny); covariances and the ICP match
+run on device via the batched kernels.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..core import math3d
+from ..core.scan import TPUScan
+from ..io.frames import AlgoType
+
+__all__ = ["graph_balancer", "close_loop", "ElchParams"]
+
+
+def graph_balancer(edges, weights_per_edge, first, last, n):
+    """Distribute loop-closing weights over the pose graph.
+
+    Faithful reimplementation of elch6D::graph_balancer
+    (elch6D.cc:186-280) on networkx: weights[first]=0, weights[last]=1;
+    repeatedly find the shortest crossing path between junction
+    vertices, linearly interpolate weights along it by path distance,
+    remove its edges; finally propagate weights into branches.
+
+    edges: [(u, v)], weights_per_edge: [w] (same length), n vertices.
+    Returns weights [n].
+    """
+    import heapq
+
+    adj: dict[int, dict[int, float]] = {i: {} for i in range(n)}
+    for (u, v), w in zip(edges, weights_per_edge):
+        adj[u][v] = min(w, adj[u].get(v, np.inf))
+        adj[v][u] = min(w, adj[v].get(u, np.inf))
+
+    weights = np.zeros(n)
+    weights[first] = 0.0
+    weights[last] = 1.0
+    crossings = [first, last]
+    branches: list[int] = []
+
+    def dijkstra(src):
+        dist = {src: 0.0}
+        prev = {src: src}
+        pq = [(0.0, src)]
+        while pq:
+            d, u = heapq.heappop(pq)
+            if d > dist.get(u, np.inf):
+                continue
+            for v, w in adj[u].items():
+                nd = d + w
+                if nd < dist.get(v, np.inf):
+                    dist[v] = nd
+                    prev[v] = u
+                    heapq.heappush(pq, (nd, v))
+        return dist, prev
+
+    while crossings:
+        best = None  # (dist, s, e, prevmap, distmap)
+        drop = []
+        for si, s in enumerate(crossings):
+            dist, prev = dijkstra(s)
+            reachable = False
+            for e in crossings[si + 1 :]:
+                if e in prev and prev[e] != e:
+                    reachable = True
+                    if best is None or dist[e] < best[0]:
+                        best = (dist[e], s, e, prev, dist)
+            if not reachable and best is None:
+                drop.append(s)
+        for s in drop:
+            branches.append(s)
+            crossings.remove(s)
+        if best is None:
+            continue
+        _, s, e, prev, dist = best
+        # interpolate along path e -> s, removing edges
+        def remove_edge(u, v):
+            adj[u].pop(v, None)
+            adj[v].pop(u, None)
+
+        remove_edge(e, prev[e])
+        i = prev[e]
+        while i != s:
+            weights[i] = weights[s] + (weights[e] - weights[s]) * dist[i] / dist[e]
+            remove_edge(i, prev[i])
+            if len(adj[i]) > 0:
+                crossings.append(i)
+            i = prev[i]
+        if len(adj[s]) == 0 and s in crossings:
+            crossings.remove(s)
+        if len(adj[e]) == 0 and e in crossings:
+            crossings.remove(e)
+
+    # propagate into branches (elch6D.cc:266-280)
+    while branches:
+        s = branches.pop(0)
+        for v in list(adj[s].keys()):
+            weights[v] = weights[s]
+            if len(adj[v]) > 1:
+                branches.append(v)
+        for v in list(adj[s].keys()):
+            adj[v].pop(s, None)
+        adj[s].clear()
+    return weights
+
+
+def _slerp(q0, q1, t):
+    """Quaternion slerp (ref globals.icc slerp)."""
+    d = float(np.dot(q0, q1))
+    if d < 0:
+        q1 = -np.asarray(q1)
+        d = -d
+    d = min(1.0, max(-1.0, d))
+    th = np.arccos(d)
+    if th < 1e-8:
+        out = (1 - t) * np.asarray(q0) + t * np.asarray(q1)
+    else:
+        out = (
+            np.sin((1 - t) * th) * np.asarray(q0) + np.sin(t * th) * np.asarray(q1)
+        ) / np.sin(th)
+    return out / np.linalg.norm(out)
+
+
+@dataclasses.dataclass
+class ElchParams:
+    max_dist_match2: float = 625.0
+    icp_iterations: int = 100
+    icp_epsilon: float = 1e-7
+    pad_multiple: int = 512
+
+
+def close_loop(
+    scans: list[TPUScan],
+    first: int,
+    last: int,
+    graph_edges: list[tuple[int, int]],
+    params: ElchParams,
+) -> None:
+    """Close the loop (first, last): ICP metascan(first±2) vs
+    metascan(last-2..last), distribute the correction by balanced
+    weights with per-axis translation scaling + rotation slerp
+    (elch6Dslerp.cc:93-190).  Mutates scan poses (ELCH frames)."""
+    import jax.numpy as jnp
+
+    from . import icp as icp_mod
+    from .graphslam import link_covariances
+
+    n = len(scans)
+
+    # 1-2. edge weights from link covariances -> balanced vertex weights
+    cap = max(len(s.reduced_local()) for s in scans)
+    cap = ((cap + params.pad_multiple - 1) // params.pad_multiple) * params.pad_multiple
+    pts = np.zeros((n, cap, 3), np.float32)
+    msk = np.zeros((n, cap), bool)
+    for si, s in enumerate(scans):
+        r = s.reduced_local()
+        g = np.asarray(math3d.transform3(s.transMat, r))
+        pts[si, : len(r)] = g
+        msk[si, : len(r)] = True
+    edges_arr = np.asarray(graph_edges, np.int32)
+    C, CD, m = link_covariances(
+        jnp.asarray(pts), jnp.asarray(msk), jnp.asarray(edges_arr),
+        jnp.float32(params.max_dist_match2),
+    )
+    C = np.asarray(C, np.float64)
+    wtrans = np.zeros((len(graph_edges), 3))
+    wrot = np.zeros(len(graph_edges))
+    for li in range(len(graph_edges)):
+        Ci = C[li]
+        try:
+            Cinv = np.linalg.inv(Ci)
+        except np.linalg.LinAlgError:
+            Cinv = np.eye(6)
+        wtrans[li] = np.abs(np.diag(Cinv)[:3])
+        wrot[li] = np.abs(np.diag(Cinv)[3:]).sum()
+    weights = [
+        graph_balancer(graph_edges, wtrans[:, k], first, last, n)
+        for k in range(3)
+    ] + [graph_balancer(graph_edges, wrot, first, last, n)]
+
+    # 3. ICP: metascan around first vs metascan around last
+    def window_global(lo, hi):
+        chunks = []
+        for i in range(max(0, lo), min(n, hi + 1)):
+            chunks.append(
+                np.asarray(
+                    math3d.transform3(scans[i].transMat, scans[i].reduced_local())
+                )
+            )
+        return np.concatenate(chunks, axis=0).astype(np.float32)
+
+    model = window_global(first - 2, first + 2)
+    end_lo, end_hi = last - 2, last
+    target = window_global(end_lo, end_hi)
+    mcap = ((len(model) + 511) // 512) * 512
+    tcap = ((len(target) + 511) // 512) * 512
+    mp = np.zeros((mcap, 3), np.float32)
+    mp[: len(model)] = model
+    mm = np.zeros(mcap, bool)
+    mm[: len(model)] = True
+    tp = np.zeros((tcap, 3), np.float32)
+    tp[: len(target)] = target
+    tm = np.zeros(tcap, bool)
+    tm[: len(target)] = True
+
+    Pl0 = scans[last].transMat.copy()
+    Pf0 = scans[first].transMat.copy()
+    res = icp_mod.icp_pair(
+        jnp.asarray(mp), jnp.asarray(mm), jnp.asarray(tp), jnp.asarray(tm),
+        jnp.eye(4, dtype=jnp.float32),
+        max_dist_match2=params.max_dist_match2,
+        epsilon=params.icp_epsilon,
+        max_iterations=params.icp_iterations,
+    )
+    # align maps the end-window (already global) onto the start window:
+    # Pp0 = align @ Pl0
+    align = np.asarray(res.T, np.float64)
+    u, _, vt = np.linalg.svd(align[:3, :3])
+    align[:3, :3] = u @ vt
+    Pp0 = align @ Pl0
+
+    # delta (elch6Dslerp.cc:121-131):
+    # deltaf = Pf0^-1 · Pp0 · (Pf0^-1 · Pl0)^-1
+    Pf0_inv = np.asarray(math3d.m4inv(Pf0))
+    tmp1 = Pf0_inv @ Pl0
+    deltaf = Pf0_inv @ Pp0 @ np.asarray(math3d.m4inv(tmp1))
+    deltaQ = np.asarray(math3d.matrix4_to_quat(deltaf))
+    deltaT = deltaf[:3, 3]
+
+    idQ = np.array([1.0, 0, 0, 0])
+    # delta0 = Pf0 · (w0-fraction of delta)^-1  (elch6Dslerp.cc:152-159)
+    rPos0 = deltaT * np.array([weights[0][0], weights[1][0], weights[2][0]])
+    q0 = _slerp(idQ, deltaQ, weights[3][0])
+    tmp1 = np.asarray(math3d.quat_to_matrix4(q0, rPos0))
+    delta0 = Pf0 @ np.asarray(math3d.m4inv(tmp1))
+
+    # 4. distribute (elch6Dslerp.cc:163-180).  The reference's ICP match
+    # already applied `align` to the end-window scans before the loop
+    # multiplies delta0·Pf0⁻¹ on top; we fold it in here instead.
+    for i in range(1, n):
+        if end_lo <= i <= end_hi:
+            Ti = delta0 @ Pf0_inv @ align
+        else:
+            rPos = deltaT * np.array(
+                [weights[0][i], weights[1][i], weights[2][i]]
+            )
+            qi = _slerp(idQ, deltaQ, weights[3][i])
+            frac = np.asarray(math3d.quat_to_matrix4(qi, rPos))
+            Ti = delta0 @ frac @ Pf0_inv
+        scans[i].transform(Ti, AlgoType.ELCH, record=True)
+    scans[0].add_frame(AlgoType.ELCH)

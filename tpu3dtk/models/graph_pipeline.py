@@ -1,0 +1,129 @@
+"""Full SLAM pipeline: sequential ICP + loop detection + ELCH loop
+closure + LUM GraphSLAM relaxation — the TPU-native
+``matchGraph6Dautomatic`` (ref src/slam6d/slam6D.cc:387-548).
+
+Per scan i: odometry extrapolation, ICP against previous scan (or
+metascan), loop detection by pose proximity (dist < cldist, j < i -
+loopsize); one scan after a loop is detected, run ELCH on the closest
+(first, last) pair and then LUM over the proximity graph until
+convergence.  Final passes re-run LUM with -D (mdml) and optionally
+--DlastSLAM/--graphDist (mdmll) distances.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..core import math3d
+from ..core.scan import TPUScan
+from . import elch as elch_mod
+from . import graphslam as gs
+from .icp import IcpParams
+from .sequence import SequenceRegistration
+
+__all__ = ["GraphPipeline"]
+
+
+@dataclasses.dataclass
+class GraphPipeline:
+    icp_params: IcpParams = dataclasses.field(default_factory=IcpParams)
+    metascan: bool = False
+    lum_max_dist2: float = 625.0  # -D
+    lum_iterations: int = 50  # -I
+    lum_epsilon: float = 0.5  # --epsSLAM
+    elch: bool = False  # -L 4
+    cldist: float = 500.0
+    loopsize: int = 20
+    mdmll: float = -1.0  # --DlastSLAM (final pass match distance)
+    graph_dist: float = -1.0  # --graphDist (final pass graph distance)
+
+    def run(self, scans: list[TPUScan]) -> list[dict]:
+        n = len(scans)
+        cld2 = self.cldist**2
+        results: list[dict] = []
+        edges: list[tuple[int, int]] = []
+        seq = SequenceRegistration(
+            params=self.icp_params, metascan=self.metascan
+        )
+        loop_state = 0
+        min_dist = -1.0
+        first = last = 0
+
+        for i in range(1, n):
+            edges.append((i - 1, i))
+            # ICP step vs previous (reuse driver on the 2-scan window;
+            # it extrapolates odometry and records frames globally)
+            r = seq.run_single(scans, i)
+            results.append(r)
+
+            if loop_state == 1:
+                loop_state = 2
+            for j in range(0, i - self.loopsize):
+                d = float(
+                    np.sum((scans[j].rPos - scans[i].rPos) ** 2)
+                )
+                if d < cld2:
+                    loop_state = max(loop_state, 1)
+                    if min_dist < 0 or d < min_dist:
+                        min_dist = d
+                        first, last = j, i
+
+            if loop_state == 2:
+                loop_state = 0
+                min_dist = -1.0
+                self._close_and_relax(scans, first, last, edges, upto=i)
+
+        if loop_state == 1 and self.elch:
+            self._close_and_relax(scans, first, last, edges, upto=n - 1)
+
+        # final LUM passes (slam6D.cc:520-547)
+        if self.lum_iterations > 0 and self.lum_max_dist2 > 0:
+            self._relax(scans, self.lum_max_dist2, cld2)
+        if self.mdmll > 0:
+            gd2 = self.graph_dist**2 if self.graph_dist > 0 else cld2
+            self._relax(scans, self.mdmll**2, gd2)
+        return results
+
+    def _close_and_relax(self, scans, first, last, edges, upto):
+        if self.elch:
+            elch_mod.close_loop(
+                scans[: upto + 1],
+                first,
+                last,
+                [e for e in edges if e[1] <= upto],
+                elch_mod.ElchParams(
+                    max_dist_match2=self.icp_params.max_dist_match2,
+                    icp_iterations=self.icp_params.max_iterations,
+                ),
+            )
+            edges.append((first, last))
+        if self.lum_iterations > 0 and self.lum_max_dist2 > 0:
+            sub = scans[: upto + 1]
+            positions = np.stack([s.rPos for s in sub])
+            links = gs.build_proximity_graph(
+                positions, self.cldist**2, self.loopsize
+            )
+            gs.do_graph_slam(
+                sub,
+                links,
+                gs.LumParams(
+                    max_dist_match2=self.lum_max_dist2,
+                    iterations=self.lum_iterations,
+                    epsilon=self.lum_epsilon,
+                ),
+            )
+
+    def _relax(self, scans, max_dist2, graph_cld2):
+        positions = np.stack([s.rPos for s in scans])
+        links = gs.build_proximity_graph(positions, graph_cld2, self.loopsize)
+        gs.do_graph_slam(
+            scans,
+            links,
+            gs.LumParams(
+                max_dist_match2=max_dist2,
+                iterations=self.lum_iterations,
+                epsilon=self.lum_epsilon,
+            ),
+        )

@@ -43,79 +43,81 @@ class SequenceRegistration:
         Returns per-match info dicts."""
         if not scans:
             return []
+        return [self.run_single(scans, i) for i in range(1, len(scans))]
+
+    def run_single(self, scans: list[TPUScan], i: int) -> dict:
+        """Register scan i against the previous scan (or metascan of all
+        earlier scans): odometry extrapolation + one jitted ICP match +
+        frames bookkeeping (the loop body of doICP, icp6D.cc:383-437).
+
+        Frame bookkeeping mirrors reference transform(islum=0): every
+        match event appends a frame to every scan (ICP for current,
+        ICPINACTIVE for already-registered, INVALID for future scans).
+        """
         cap = _round_up(
             max(len(s.reduced_local()) for s in scans), self.pad_multiple
         )
-        results = []
-        # frame bookkeeping mirrors reference transform(islum=0): every
-        # match event appends a frame to every scan (ICP for current,
-        # ICPINACTIVE for already-registered, INVALID for future scans)
-        for i, cur in enumerate(scans):
-            if i == 0:
+        cur = scans[i]
+        prev = scans[i - 1]
+        if self.extrapolate_odometry:
+            # deltaMat = prev.transMat @ inv(prev.transMatOrg)
+            delta = prev.transMat @ np.asarray(
+                math3d.m4inv(prev.transMatOrg)
+            )
+            cur.transform(delta, AlgoType.INVALID, record=False)
+
+        if self.metascan:
+            lo = 0
+            if self.max_num_metascans > 0:
+                lo = max(0, i - self.max_num_metascans)
+            model_scans = scans[lo:i]
+        else:
+            model_scans = [prev]
+
+        mcap = _round_up(cap * len(model_scans), self.pad_multiple)
+        model_pts = np.zeros((mcap, 3), dtype=np.float32)
+        model_mask = np.zeros(mcap, dtype=bool)
+        o = 0
+        for ms in model_scans:
+            g = np.asarray(
+                math3d.transform3(ms.transMat, ms.reduced_local())
+            )
+            model_pts[o : o + len(g)] = g
+            model_mask[o : o + len(g)] = True
+            o += len(g)
+
+        tgt_pts, tgt_mask = cur.reduced_padded(cap)
+        res = icp_mod.icp_pair(
+            model_pts,
+            model_mask,
+            tgt_pts,
+            tgt_mask,
+            cur.transMat.astype(np.float32),
+            max_dist_match2=self.params.max_dist_match2,
+            epsilon=self.params.epsilon,
+            max_iterations=self.params.max_iterations,
+            minimizer=self.params.minimizer,
+            subsample=self.params.subsample,
+            seed=i,
+        )
+        T_new = np.asarray(res.T, dtype=np.float64)
+        # orthonormalize the accumulated f32 rotation before storing
+        R = T_new[:3, :3]
+        u, _, vt = np.linalg.svd(R)
+        T_new[:3, :3] = u @ vt
+        cur.set_pose(T_new, AlgoType.ICP)
+        for j, other in enumerate(scans):
+            if other is cur:
                 continue
-            prev = scans[i - 1]
-            if self.extrapolate_odometry:
-                # deltaMat = prev.transMat @ inv(prev.transMatOrg)
-                delta = prev.transMat @ np.asarray(
-                    math3d.m4inv(prev.transMatOrg)
-                )
-                cur.transform(delta, AlgoType.INVALID, record=False)
-
-            if self.metascan:
-                lo = 0
-                if self.max_num_metascans > 0:
-                    lo = max(0, i - self.max_num_metascans)
-                model_scans = scans[lo:i]
-            else:
-                model_scans = [prev]
-
-            mcap = _round_up(cap * len(model_scans), self.pad_multiple)
-            model_pts = np.zeros((mcap, 3), dtype=np.float32)
-            model_mask = np.zeros(mcap, dtype=bool)
-            o = 0
-            for ms in model_scans:
-                g = np.asarray(
-                    math3d.transform3(ms.transMat, ms.reduced_local())
-                )
-                model_pts[o : o + len(g)] = g
-                model_mask[o : o + len(g)] = True
-                o += len(g)
-
-            tgt_pts, tgt_mask = cur.reduced_padded(cap)
-            res = icp_mod.icp_pair(
-                model_pts,
-                model_mask,
-                tgt_pts,
-                tgt_mask,
-                cur.transMat.astype(np.float32),
-                max_dist_match2=self.params.max_dist_match2,
-                epsilon=self.params.epsilon,
-                max_iterations=self.params.max_iterations,
-                minimizer=self.params.minimizer,
-                subsample=self.params.subsample,
-                seed=i,
+            other.add_frame(
+                AlgoType.ICPINACTIVE if j < i else AlgoType.INVALID
             )
-            T_new = np.asarray(res.T, dtype=np.float64)
-            # orthonormalize the accumulated f32 rotation before storing
-            R = T_new[:3, :3]
-            u, _, vt = np.linalg.svd(R)
-            T_new[:3, :3] = u @ vt
-            cur.set_pose(T_new, AlgoType.ICP)
-            for j, other in enumerate(scans):
-                if other is cur:
-                    continue
-                other.add_frame(
-                    AlgoType.ICPINACTIVE if j < i else AlgoType.INVALID
-                )
-            results.append(
-                {
-                    "identifier": cur.identifier,
-                    "iterations": int(res.iterations),
-                    "error": float(res.error),
-                    "pairs": int(res.n_pairs),
-                }
-            )
-        return results
+        return {
+            "identifier": cur.identifier,
+            "iterations": int(res.iterations),
+            "error": float(res.error),
+            "pairs": int(res.n_pairs),
+        }
 
 
 def register_sequence(scans: list[TPUScan], **kwargs) -> list[dict]:
