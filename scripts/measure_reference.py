@@ -1,0 +1,115 @@
+"""Measure the CPU baseline for bench.py's vs_baseline ratio.
+
+The reference binary (slam6D) cannot be built in this image (no Boost /
+SuiteSparse packages, zero egress), so this script runs a faithful
+CPU *reference-equivalent*: the same ICP algorithm — kd-tree NN
+(scipy cKDTree, C implementation, the same data structure as the
+reference's src/slam6d/kd.cc), double-precision Horn quaternion
+minimizer, identical iteration/convergence logic (icp6D.cc:104-285) —
+single-threaded on the same dat/ workload bench.py times on TPU.
+
+Writes BASELINE_MEASURED.json: {"dat_matching_ms": ..., "method": ...}.
+Replace with real slam6D timings when a full build environment exists.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+from scipy.spatial import cKDTree
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def cpu_icp_match(model, target_local, T0, max_dist2, max_iter, eps):
+    """Reference ICP loop on CPU doubles: NN via kd-tree, Horn quat."""
+    tree = cKDTree(model)
+    T = T0.copy()
+    ret = prev = prev2 = 0.0
+    for it in range(max_iter):
+        prev2, prev = prev, ret
+        tgt = target_local @ T[:3, :3].T + T[:3, 3]
+        d, idx = tree.query(tgt)
+        sel = d * d < max_dist2
+        m = model[idx[sel]]
+        t = tgt[sel]
+        n = len(m)
+        if n <= 3:
+            break
+        cm = m.mean(0)
+        cd = t.mean(0)
+        S = (t - cd).T @ (m - cm) / n  # rows=data, cols=model
+        tr = np.trace(S)
+        A = np.array([S[1, 2] - S[2, 1], S[2, 0] - S[0, 2], S[0, 1] - S[1, 0]])
+        Q = np.empty((4, 4))
+        Q[0, 0] = tr
+        Q[0, 1:] = A
+        Q[1:, 0] = A
+        Q[1:, 1:] = S + S.T - np.eye(3) * tr
+        w, v = np.linalg.eigh(Q)
+        q = v[:, -1]
+        qw, qx, qy, qz = q
+        R = np.array(
+            [
+                [qw*qw+qx*qx-qy*qy-qz*qz, 2*(qx*qy-qw*qz), 2*(qx*qz+qw*qy)],
+                [2*(qx*qy+qw*qz), qw*qw-qx*qx+qy*qy-qz*qz, 2*(qy*qz-qw*qx)],
+                [2*(qx*qz-qw*qy), 2*(qy*qz+qw*qx), qw*qw-qx*qx-qy*qy+qz*qz],
+            ]
+        )
+        trans = cm - R @ cd
+        align = np.eye(4)
+        align[:3, :3] = R
+        align[:3, 3] = trans
+        T = align @ T
+        ret = float(np.sqrt((d[sel] ** 2).mean()))
+        if abs(ret - prev) < eps and abs(ret - prev2) < eps:
+            break
+    return T
+
+
+def main():
+    from tpu3dtk.core.scan import TPUScan
+    from tpu3dtk.io.scandir import PointFilter, read_scan_dir
+    from tpu3dtk.core import math3d
+
+    dat = "/root/reference/dat"
+    scans = []
+    for raw in read_scan_dir(dat, format="uos", point_filter=PointFilter(range_max=500.0)):
+        s = TPUScan.from_raw(raw)
+        s.set_reduction(10.2, 1)
+        scans.append(s)
+    reduced = [np.asarray(s.reduced_local(), np.float64) for s in scans]
+    mats = [s.transMat.copy() for s in scans]
+
+    t0 = time.perf_counter()
+    # same workload bench.py times: sequential metascan registration,
+    # 50 iterations cap, eps 1e-7
+    for i in range(1, len(scans)):
+        delta = mats[i - 1] @ np.asarray(math3d.m4inv(scans[i - 1].transMatOrg))
+        T0 = delta @ mats[i]
+        model = np.concatenate(
+            [
+                r @ M[:3, :3].T + M[:3, 3]
+                for r, M in zip(reduced[:i], mats[:i])
+            ]
+        )
+        mats[i] = cpu_icp_match(model, reduced[i], T0, 625.0, 50, 1e-7)
+    dt_ms = (time.perf_counter() - t0) * 1000.0
+    out = {
+        "dat_matching_ms": round(dt_ms, 1),
+        "method": "cpu reference-equivalent: scipy cKDTree NN + f64 Horn quat ICP, single-thread",
+        "note": "reference slam6D not buildable in this image (no boost/suitesparse)",
+    }
+    with open(os.path.join(REPO, "BASELINE_MEASURED.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

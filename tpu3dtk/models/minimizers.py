@@ -27,6 +27,7 @@ the current pose (ref Scan::transformMatrix, scan.cc:878-898).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..core import math3d
@@ -113,12 +114,32 @@ def _finish(R, stats: PairStats):
     return T, err
 
 
+def _max_eigvec4(Q, iters: int = 60):
+    """Dominant eigenvector of a symmetric 4x4 via shifted power
+    iteration — TPU-friendly replacement for eigh's QR sweeps (the
+    reference solves the quartic characteristic polynomial instead,
+    icp6Dquat.cc:171-320 Ferrari's method; same eigenpair).  The shift
+    2·||Q||_F makes the target eigenvalue the largest in magnitude."""
+    shift = 2.0 * jnp.sqrt(jnp.sum(Q * Q)) + 1e-12
+    A = Q + shift * jnp.eye(4, dtype=Q.dtype)
+    # A^64 v0 by 6 unrolled squarings (renormalized): fully fusable,
+    # no while-loop per-iteration overhead on TPU
+    A = A / (jnp.sqrt(jnp.sum(A * A)) + 1e-30)
+    for _ in range(6):
+        A = A @ A
+        A = A / (jnp.sqrt(jnp.sum(A * A)) + 1e-30)
+    v = A @ jnp.full((4,), 0.5, dtype=Q.dtype)
+    # one Rayleigh-quotient polish step for f32 accuracy
+    v = v / (jnp.linalg.norm(v) + 1e-30)
+    v = (Q + shift * jnp.eye(4, dtype=Q.dtype)) @ v
+    return v / (jnp.linalg.norm(v) + 1e-30)
+
+
 def align_quat(stats: PairStats):
     """Horn's unit-quaternion method (ref icp6Dquat.cc:38-145).
 
     Builds the symmetric 4x4 Q from S/n and takes its maximum
-    eigenvector via eigh (the reference solves the quartic
-    characteristic polynomial with Ferrari's method — same eigenpair).
+    eigenvector via shifted power iteration.
     """
     S = (stats.S / jnp.maximum(stats.n, 1.0)).astype(jnp.float32)
     trace = jnp.trace(S)
@@ -130,8 +151,7 @@ def align_quat(stats: PairStats):
     Q = Q.at[0, 1:].set(jnp.array([A23, A31, A12], dtype=S.dtype))
     Q = Q.at[1:, 0].set(jnp.array([A23, A31, A12], dtype=S.dtype))
     Q = Q.at[1:, 1:].set(S + S.T - jnp.eye(3, dtype=S.dtype) * trace)
-    _, vecs = jnp.linalg.eigh(Q)  # ascending; max eigenvector is last
-    q = vecs[:, -1]  # [w, x, y, z] in the reference's convention
+    q = _max_eigvec4(Q)  # [w, x, y, z] in the reference's convention
     R = math3d.quat_to_matrix3(q).astype(S.dtype)
     return _finish(R, stats)
 
