@@ -117,6 +117,29 @@ class TPUScan:
             ).astype(np.float64)
         return self._reduced_local
 
+    def reduced_normals_local(self, k: int = 20) -> np.ndarray:
+        """Normals of the reduced points in local frame, viewpoint at the
+        scanner origin (ref calculateNormalsKNN, normals.cc:220-440; the
+        'normal reduced' channel)."""
+        if "normal reduced" not in self.channels:
+            import jax.numpy as jnp
+
+            from ..ops import normals as normals_ops
+
+            r = self.reduced_local().astype(np.float32)
+            mask = np.ones(len(r), bool)
+            n = normals_ops.estimate_normals_knn(
+                jnp.asarray(r), jnp.asarray(mask), jnp.zeros(3, jnp.float32), k=k
+            )
+            self.channels["normal reduced"] = np.asarray(n, dtype=np.float64)
+        return self.channels["normal reduced"]
+
+    def reduced_normals_padded(self, cap: int) -> np.ndarray:
+        n = self.reduced_normals_local()
+        out = np.zeros((cap, 3), dtype=np.float32)
+        out[: len(n)] = n
+        return out
+
     def reduced_padded(self, cap: int) -> tuple[np.ndarray, np.ndarray]:
         """Reduced local points padded to a static cap: ([cap,3] f32,
         [cap] bool).  Cached per cap (bucketed static shapes avoid

@@ -42,6 +42,9 @@ class IcpParams(NamedTuple):
     epsilon: float = 1e-5  # --epsICP
     minimizer: str = "quat"  # -a
     subsample: int = 1  # rnd: take ~1/rnd of target points per iteration
+    pairing: str = "closest_point"  # ref PairingMode (pairingMode.h):
+    # "closest_point" | "closest_plane" (point-to-plane projection) |
+    # "along_normal" (normal shooting)
 
 
 class IcpResult(NamedTuple):
@@ -51,15 +54,37 @@ class IcpResult(NamedTuple):
     n_pairs: jnp.ndarray  # pairs in last iteration
 
 
-def _pair_statistics(model, mmask, tgt_global, tmask, max_dist2):
-    idx, d2, found = nn_ops.nn_brute(tgt_global, tmask, model, mmask, max_dist2)
+def _pair_statistics(
+    model, mmask, tgt_global, tmask, max_dist2, pairing="closest_point",
+    tgt_normals=None,
+):
+    """Correspondence search + sufficient statistics for one iteration.
+
+    Pairing semantics follow SearchTree::getPtPairs
+    (searchTree.cc:126-163): for "closest_plane" the matched model point
+    is projected onto the plane through the target point with the
+    *target's* normal (s' = (n·(s−t))n + t); for "along_normal" the NN
+    metric is perpendicular distance to the target's normal ray.
+    """
+    if pairing == "along_normal":
+        idx, d2, found = nn_ops.nn_brute_line(
+            tgt_global, tgt_normals, tmask, model, mmask, max_dist2
+        )
+    else:
+        idx, d2, found = nn_ops.nn_brute(
+            tgt_global, tmask, model, mmask, max_dist2
+        )
     m_pts = model[idx]
+    if pairing == "closest_plane":
+        dot = jnp.sum(tgt_normals * (m_pts - tgt_global), axis=1, keepdims=True)
+        m_pts = tgt_global + dot * tgt_normals
     w = found
     return mz.pair_stats(m_pts, tgt_global, w)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_iterations", "minimizer", "subsample")
+    jax.jit,
+    static_argnames=("max_iterations", "minimizer", "subsample", "pairing"),
 )
 def icp_pair(
     model,
@@ -74,6 +99,8 @@ def icp_pair(
     minimizer: str = "quat",
     subsample: int = 1,
     seed: int = 0,
+    pairing: str = "closest_point",
+    target_normals_local=None,
 ) -> IcpResult:
     """Match one target scan against fixed model points.
 
@@ -108,8 +135,15 @@ def icp_pair(
         else:
             it_mask = tmask
         tgt_global = math3d.transform3(T, target_local).astype(jnp.float32)
+        if pairing != "closest_point":
+            normals_g = math3d.transform3normal(
+                T, target_normals_local
+            ).astype(jnp.float32)
+        else:
+            normals_g = None
         stats = _pair_statistics(
-            model, mmask, tgt_global, it_mask, jnp.float32(max_dist_match2)
+            model, mmask, tgt_global, it_mask, jnp.float32(max_dist_match2),
+            pairing=pairing, tgt_normals=normals_g,
         )
         enough = stats.n > 3
         align, err = align_fn(stats)

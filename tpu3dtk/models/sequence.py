@@ -87,6 +87,11 @@ class SequenceRegistration:
             o += len(g)
 
         tgt_pts, tgt_mask = cur.reduced_padded(cap)
+        tgt_normals = (
+            cur.reduced_normals_padded(cap)
+            if self.params.pairing != "closest_point"
+            else None
+        )
         res = icp_mod.icp_pair(
             model_pts,
             model_mask,
@@ -99,6 +104,8 @@ class SequenceRegistration:
             minimizer=self.params.minimizer,
             subsample=self.params.subsample,
             seed=i,
+            pairing=self.params.pairing,
+            target_normals_local=tgt_normals,
         )
         T_new = np.asarray(res.T, dtype=np.float64)
         # orthonormalize the accumulated f32 rotation before storing

@@ -26,7 +26,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-__all__ = ["nn_brute", "nn_grid", "GridIndex", "build_grid"]
+__all__ = ["nn_brute", "nn_brute_line", "nn_grid", "GridIndex", "build_grid"]
 
 
 def _pairwise_d2(q, m):
@@ -61,6 +61,48 @@ def nn_brute(query, qmask, model, mmask, max_dist2, q_tile: int = 2048):
 
     qtiles = qp.reshape(-1, q_tile, 3)
     idx, best = jax.lax.map(one_tile, qtiles)
+    idx = idx.reshape(-1)[:Q]
+    best = best.reshape(-1)[:Q]
+    found = qmask & (best < max_dist2)
+    return idx, best, found
+
+
+@functools.partial(jax.jit, static_argnames=("q_tile",))
+def nn_brute_line(query, qdir, qmask, model, mmask, max_dist2, q_tile: int = 1024):
+    """Closest model point to the *line* through each query along its
+    (unit) direction — the reference's ``FindClosestAlongDir`` metric
+    d² = |p−x|² − ((p−x)·dir)² (kdTreeImpl.h:390-405), used by
+    normal-shooting pairing (searchTree.cc:133-141).
+
+    query: [Q,3]; qdir: [Q,3] unit directions.  Strict acceptance at
+    max_dist2 like nn_brute.
+    """
+    Q = query.shape[0]
+    q_tile = min(q_tile, Q)
+    pad = (-Q) % q_tile
+    qp = jnp.pad(query, ((0, pad), (0, 0)))
+    dp = jnp.pad(qdir, ((0, pad), (0, 0)))
+    big = jnp.float32(3.4e38)
+    minf = jnp.where(mmask, 0.0, big)[None, :]
+    m2 = jnp.sum(model * model, axis=1)[None, :]
+
+    def one_tile(args):
+        qt, dt = args
+        cross = jnp.dot(qt, model.T, preferred_element_type=jnp.float32)
+        q2 = jnp.sum(qt * qt, axis=1, keepdims=True)
+        d2 = q2 + m2 - 2.0 * cross
+        # projection: ((q - m)·dir)² = (q·dir - m·dir)²
+        qd = jnp.sum(qt * dt, axis=1, keepdims=True)
+        md = jnp.dot(dt, model.T, preferred_element_type=jnp.float32)
+        proj = qd - md
+        d2l = d2 - proj * proj + minf
+        idx = jnp.argmin(d2l, axis=1).astype(jnp.int32)
+        best = jnp.take_along_axis(d2l, idx[:, None].astype(jnp.int64), axis=1)[:, 0]
+        return idx, best
+
+    qtiles = qp.reshape(-1, q_tile, 3)
+    dtiles = dp.reshape(-1, q_tile, 3)
+    idx, best = jax.lax.map(one_tile, (qtiles, dtiles))
     idx = idx.reshape(-1)[:Q]
     best = best.reshape(-1)[:Q]
     found = qmask & (best < max_dist2)
