@@ -19,7 +19,7 @@ def _make_pairs(rng, n=500, angle=0.3, trans=50.0):
     return m, d, T
 
 
-@pytest.mark.parametrize("name", ["quat", "svd", "ortho"])
+@pytest.mark.parametrize("name", ["quat", "svd", "ortho", "dual"])
 def test_exact_recovery(name, rng):
     m, d, T_true = _make_pairs(rng)
     w = np.ones(len(m), np.float32)
@@ -66,6 +66,38 @@ def test_merge_stats_equals_global(rng):
     np.testing.assert_allclose(float(merged.n), float(full.n))
     np.testing.assert_allclose(np.asarray(merged.S), np.asarray(full.S), rtol=1e-3, atol=1e-1)
     np.testing.assert_allclose(np.asarray(merged.centroid_m), np.asarray(full.centroid_m), rtol=1e-5)
+
+
+@pytest.mark.parametrize("name", ["helix", "lumeuler"])
+def test_small_motion_recovery(name, rng):
+    """Linearized minimizers: recover small transforms approximately."""
+    m, d, T_true = _make_pairs(rng, angle=0.02, trans=3.0)
+    stats = mz.pair_stats(
+        jnp.asarray(m), jnp.asarray(d), jnp.ones(len(m), jnp.float32)
+    )
+    if name == "lumeuler":
+        T, _ = mz.align_lumeuler(stats, jnp.eye(4, dtype=jnp.float32))
+    else:
+        T, _ = mz.MINIMIZERS[name](stats)
+    res = np.asarray(math3d.transform3(np.asarray(T), d)) - m
+    assert np.abs(res).max() < 1.0, np.abs(res).max()
+
+
+def test_quatscale_recovers_scale(rng):
+    d = rng.uniform(-100, 100, (400, 3)).astype(np.float32)
+    s_true = 1.25
+    theta = rng.uniform(-0.2, 0.2, 3)
+    t = rng.uniform(-20, 20, 3)
+    T = np.asarray(math3d.euler_to_matrix4(t, theta), dtype=np.float32)
+    m = (np.asarray(math3d.transform3(T, d * s_true))).astype(np.float32)
+    stats = mz.pair_stats(
+        jnp.asarray(m), jnp.asarray(d), jnp.ones(len(m), jnp.float32)
+    )
+    Ts, _ = mz.align_quat_scale(stats)
+    scale = float(np.linalg.norm(np.asarray(Ts)[:3, 0]))
+    np.testing.assert_allclose(scale, s_true, rtol=1e-3)
+    res = np.asarray(math3d.transform3(np.asarray(Ts), d)) - m
+    assert np.abs(res).max() < 0.5
 
 
 def test_error_is_rms(rng):

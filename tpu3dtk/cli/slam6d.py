@@ -34,7 +34,10 @@ import time
 import numpy as np
 
 
-ALGO_NAMES = {1: "quat", 2: "svd", 3: "ortho", 6: "apx"}
+ALGO_NAMES = {
+    1: "quat", 2: "svd", 3: "ortho", 4: "dual", 5: "helix",
+    6: "apx", 7: "lumeuler", 9: "quatscale",
+}
 
 
 def build_parser() -> argparse.ArgumentParser:

@@ -146,7 +146,11 @@ def icp_pair(
             pairing=pairing, tgt_normals=normals_g,
         )
         enough = stats.n > 3
-        align, err = align_fn(stats)
+        if minimizer == "lumeuler":
+            # ref icp6D.cc:242-245: algo 7/8 receive the current pose
+            align, err = align_fn(stats, T)
+        else:
+            align, err = align_fn(stats)
         align = jnp.where(enough, align, jnp.eye(4, dtype=jnp.float32))
         T_new = align @ T
         prev2_new = prev

@@ -52,7 +52,32 @@ class PairStats(NamedTuple):
     centroid_d: jnp.ndarray  # [3] data centroid
     S: jnp.ndarray  # [3,3] centered cross-covariance sum_i (d-cd)(m-cm)^T
     Sdd: jnp.ndarray  # [3,3] centered data self-covariance sum_i (d-cd)(d-cd)^T
+    Smm: jnp.ndarray  # [3,3] centered model self-covariance sum_i (m-cm)(m-cm)^T
     sum_d2: jnp.ndarray  # scalar sum |m_i - d_i|^2 (for RMS error)
+
+    # -- uncentered raw sums, derived (used by dual/helix/lum forms) --
+    @property
+    def sum_m(self):
+        return self.n * self.centroid_m
+
+    @property
+    def sum_d(self):
+        return self.n * self.centroid_d
+
+    @property
+    def Dm(self):
+        """sum d m^T (uncentered)."""
+        return self.S + self.n * jnp.outer(self.centroid_d, self.centroid_m)
+
+    @property
+    def Dd(self):
+        """sum d d^T (uncentered)."""
+        return self.Sdd + self.n * jnp.outer(self.centroid_d, self.centroid_d)
+
+    @property
+    def Mm(self):
+        """sum m m^T (uncentered)."""
+        return self.Smm + self.n * jnp.outer(self.centroid_m, self.centroid_m)
 
 
 def pair_stats(m, d, w, accum_dtype=jnp.float32) -> PairStats:
@@ -75,9 +100,12 @@ def pair_stats(m, d, w, accum_dtype=jnp.float32) -> PairStats:
     wdd = w[:, None] * dd
     S = jnp.einsum("ni,nj->ij", wdd, dm)
     Sdd = jnp.einsum("ni,nj->ij", wdd, dd)
+    Smm = jnp.einsum("ni,nj->ij", w[:, None] * dm, dm)
     diff = m - d
     sum_d2 = jnp.sum(w * jnp.sum(diff * diff, axis=1))
-    return PairStats(n=n, centroid_m=cm, centroid_d=cd, S=S, Sdd=Sdd, sum_d2=sum_d2)
+    return PairStats(
+        n=n, centroid_m=cm, centroid_d=cd, S=S, Sdd=Sdd, Smm=Smm, sum_d2=sum_d2
+    )
 
 
 def merge_stats(stats: PairStats) -> PairStats:
@@ -98,8 +126,11 @@ def merge_stats(stats: PairStats) -> PairStats:
     Sdd = jnp.sum(stats.Sdd, axis=0) + jnp.einsum(
         "k,ki,kj->ij", stats.n, dcd, dcd
     )
+    Smm = jnp.sum(stats.Smm, axis=0) + jnp.einsum(
+        "k,ki,kj->ij", stats.n, dcm, dcm
+    )
     return PairStats(
-        n=n, centroid_m=cm, centroid_d=cd, S=S, Sdd=Sdd,
+        n=n, centroid_m=cm, centroid_d=cd, S=S, Sdd=Sdd, Smm=Smm,
         sum_d2=jnp.sum(stats.sum_d2),
     )
 
@@ -203,9 +234,227 @@ def align_apx(stats: PairStats):
     return _finish(R, stats)
 
 
+def _axial(P):
+    """[P12-P21, P20-P02, P01-P10] — the axial vector of sum a x b for
+    P = sum a b^T."""
+    return jnp.stack(
+        [P[1, 2] - P[2, 1], P[2, 0] - P[0, 2], P[0, 1] - P[1, 0]]
+    )
+
+
+def _skew(v):
+    z = jnp.zeros((), dtype=v.dtype)
+    return jnp.array(
+        [[z, -v[2], v[1]], [v[2], z, -v[0]], [-v[1], v[0], z]]
+    )
+
+
+def align_dual(stats: PairStats):
+    """Walker/Shao/Volz dual-quaternion method (ref icp6Ddual.cc:41-152).
+
+    The pair loops reduce exactly to raw sums: with P = sum m d^T,
+      C1 = -2 [ tr(P),  -axial(P)^T ; -axial(P),  P + P^T - tr(P) I ]
+      C2 =  2 [ 0, (sm-sd)^T ; sd-sm, -skew(sm+sd) ]
+    using a x· b x· = b a^T - (a·b) I and C_a b = a x b.  The rotation
+    quaternion is the max eigenvector of A = (C2^T C2/(2n) - C1 - C1^T)/2.
+    """
+    dt = jnp.float32
+    P = stats.Dm.T.astype(dt)  # sum m d^T
+    sm = stats.sum_m.astype(dt)
+    sd = stats.sum_d.astype(dt)
+    n = jnp.maximum(stats.n, 1.0).astype(dt)
+    ax = _axial(P)
+    tr = jnp.trace(P)
+    C1 = jnp.zeros((4, 4), dt)
+    C1 = C1.at[0, 0].set(tr)
+    C1 = C1.at[0, 1:].set(-ax)
+    C1 = C1.at[1:, 0].set(-ax)
+    C1 = C1.at[1:, 1:].set(P + P.T - tr * jnp.eye(3, dtype=dt))
+    C1 = -2.0 * C1
+    C2 = jnp.zeros((4, 4), dt)
+    C2 = C2.at[0, 1:].set(sm - sd)
+    C2 = C2.at[1:, 0].set(sd - sm)
+    C2 = C2.at[1:, 1:].set(-_skew(sm + sd))
+    C2 = 2.0 * C2
+    A = 0.5 * (C2.T @ C2 / (2.0 * n) - C1 - C1.T)
+    qdot = _max_eigvec4(A)
+    qvec = qdot[1:]
+    s = -(C2 @ qdot) / (2.0 * n)
+    Q = jnp.zeros((4, 4), dt)
+    Q = Q.at[0, 0].set(qdot[0])
+    Q = Q.at[0, 1:].set(qvec)
+    Q = Q.at[1:, 0].set(-qvec)
+    Q = Q.at[1:, 1:].set(qdot[0] * jnp.eye(3, dtype=dt) + _skew(qvec))
+    p = Q @ s
+    t = p[1:]
+    qq = jnp.sum(qvec * qvec)
+    R = (
+        (qdot[0] * qdot[0] - qq) * jnp.eye(3, dtype=dt)
+        + 2.0 * jnp.outer(qvec, qvec)
+        + 2.0 * qdot[0] * _skew(qvec)
+    )
+    T = jnp.eye(4, dtype=dt)
+    T = T.at[:3, :3].set(R)
+    T = T.at[:3, 3].set(t)
+    err = jnp.sqrt(stats.sum_d2 / jnp.maximum(stats.n, 1.0))
+    return T, err
+
+
+def align_helix(stats: PairStats):
+    """Hofer/Pottmann helical-motion approximation (ref
+    icp6Dhelix.cc:48-204): solve the 6x6 system B (c; c̄) = bd built from
+    data-point raw sums, then exponentiate the helix parameters.
+
+    From raw sums: B upper-left = tr(Dd) I - Dd, coupling blocks are
+    -skew(sum d), lower-right = n I; bd = (-axial(Dm); sum(d - m))
+    (sum d x (d-m) = -sum d x m = -axial(Dm)).
+    """
+    dt = jnp.float32
+    Dd = stats.Dd.astype(dt)
+    Dm = stats.Dm.astype(dt)
+    sd = stats.sum_d.astype(dt)
+    sm = stats.sum_m.astype(dt)
+    n = jnp.maximum(stats.n, 1.0).astype(dt)
+    B = jnp.zeros((6, 6), dt)
+    B = B.at[:3, :3].set(jnp.trace(Dd) * jnp.eye(3, dtype=dt) - Dd)
+    Sk = _skew(sd)
+    B = B.at[:3, 3:].set(Sk)
+    B = B.at[3:, :3].set(Sk.T)
+    B = B.at[3:, 3:].set(n * jnp.eye(3, dtype=dt))
+    bd = jnp.concatenate([-_axial(Dm), sd - sm])
+    ccs = jnp.linalg.solve(B, bd)
+    # computeRt (icp6Dhelix.cc:144-204)
+    c = -ccs[:3]
+    cs = -ccs[3:]
+    clen = jnp.sqrt(jnp.sum(c * c)) + 1e-30
+    angle = jnp.arctan(clen)
+    g = c / clen
+    half = -angle / 2.0
+    b0 = jnp.cos(half)
+    bvec = g * jnp.sin(half)
+    q = jnp.concatenate([b0[None], bvec])
+    # computeRt writes the transposed quaternion-matrix convention
+    # (icp6Dhelix.cc:169-178: R(1,2)=2(b1b2+b0b3) etc.)
+    R = math3d.quat_to_matrix3(q / jnp.linalg.norm(q)).astype(dt).T
+    skew_val = jnp.sum(c * cs) / (clen * clen)
+    gs = (cs - c * skew_val) / clen
+    ptemp = jnp.cross(g, gs)
+    t = R @ (-ptemp) + g * (skew_val * angle) + ptemp
+    T = jnp.eye(4, dtype=dt)
+    T = T.at[:3, :3].set(R)
+    T = T.at[:3, 3].set(t)
+    err = jnp.sqrt(stats.sum_d2 / jnp.maximum(stats.n, 1.0))
+    return T, err
+
+
+def align_quat_scale(stats: PairStats):
+    """Horn unit quaternion + symmetric scale estimate (ref
+    icp6Dquatscale.cc): same rotation as align_quat, scale
+    s = sqrt(sum|m̃|² / sum|d̃|²), translation cm - s R cd."""
+    T, err = align_quat(stats)
+    R = T[:3, :3]
+    s = jnp.sqrt(
+        jnp.maximum(jnp.trace(stats.Smm), 1e-30)
+        / jnp.maximum(jnp.trace(stats.Sdd), 1e-30)
+    ).astype(R.dtype)
+    Ts = jnp.eye(4, dtype=R.dtype)
+    Ts = Ts.at[:3, :3].set(s * R)
+    Ts = Ts.at[:3, 3].set(
+        stats.centroid_m.astype(R.dtype)
+        - s * (R @ stats.centroid_d.astype(R.dtype))
+    )
+    return Ts, err
+
+
+def _mid_delta_system(stats: PairStats):
+    """MZ (6,) and MM (6,6) of the Lu/Milios linearization over
+    midpoints u = (m+d)/2 and deltas d̃ = m - d — the same sums as
+    covarianceEuler (lum6Deuler.cc:141-195), derived from raw moments:
+      sum u        = (sm + sd)/2
+      sum u u^T    = (Mm + Dd + Dm + Dm^T)/4
+      sum delta    = sm - sd
+      sum u x delta-ish terms from cross moments.
+    """
+    dt = jnp.float32
+    n = jnp.maximum(stats.n, 1.0).astype(dt)
+    sm, sd = stats.sum_m.astype(dt), stats.sum_d.astype(dt)
+    Mm, Dd, Dm = stats.Mm.astype(dt), stats.Dd.astype(dt), stats.Dm.astype(dt)
+    su = 0.5 * (sm + sd)
+    Uu = 0.25 * (Mm + Dd + Dm + Dm.T)
+    sdelta = sm - sd
+    # sum u x delta = sum ((m+d)/2) x (m-d) = sum d x m = axial(Dm)
+    # reference component ordering (lum6Deuler.cc:170-175):
+    #   MZ4 = sum(-z dy + y dz) = (u x δ)_x
+    #   MZ5 = sum(-y dx + x dy) = (u x δ)_z
+    #   MZ6 = sum( z dx - x dz) = (u x δ)_y
+    ux_delta = _axial(Dm)
+    MZ = jnp.concatenate(
+        [sdelta, jnp.stack([ux_delta[0], ux_delta[2], ux_delta[1]])]
+    )
+    x2 = Uu[0, 0]
+    y2 = Uu[1, 1]
+    z2 = Uu[2, 2]
+    sx, sy, sz = su
+    xy, xz, yz = Uu[0, 1], Uu[0, 2], Uu[1, 2]
+    MM = jnp.array(
+        [
+            [n, 0, 0, 0, -sy, sz],
+            [0, n, 0, -sz, sx, 0],
+            [0, 0, n, sy, 0, -sx],
+            [0, -sz, sy, y2 + z2, -xz, -xy],
+            [-sy, sx, 0, -xz, x2 + y2, -yz],
+            [sz, 0, -sx, -xy, -yz, x2 + z2],
+        ],
+        dtype=dt,
+    )
+    return MZ, MM
+
+
+def align_lumeuler(stats: PairStats, T_cur=None):
+    """Lu/Milios single-pair Euler minimizer (ref icp6Dlumeuler.cc):
+    pose-difference estimate Ehat = MM^-1 MZ in the global frame, mapped
+    through the pose Jacobian H at the current pose; the applied
+    alignment is T1 T2^-1."""
+    MZ, MM = _mid_delta_system(stats)
+    Ehat = jnp.linalg.solve(MM, MZ)
+    dt = MZ.dtype
+    if T_cur is None:
+        T_cur = jnp.eye(4, dtype=dt)
+    T_cur = T_cur.astype(dt)
+    theta, pos = math3d.matrix4_to_euler(T_cur)
+    tx, ty, tz = pos
+    cx, sx_ = jnp.cos(theta[0]), jnp.sin(theta[0])
+    cy, sy_ = jnp.cos(theta[1]), jnp.sin(theta[1])
+    H = jnp.eye(6, dtype=dt)
+    H = H.at[0, 4].set(-tz * cx + ty * sx_)
+    H = H.at[0, 5].set(ty * cx * cy + tz * cy * sx_)
+    H = H.at[1, 3].set(tz)
+    H = H.at[1, 4].set(-tx * sx_)
+    H = H.at[1, 5].set(-tx * cx * cy + tz * sy_)
+    H = H.at[2, 3].set(-ty)
+    H = H.at[2, 4].set(tx * cx)
+    H = H.at[2, 5].set(-tx * cy * sx_ - ty * sy_)
+    H = H.at[3, 5].set(sy_)
+    H = H.at[4, 4].set(sx_)
+    H = H.at[4, 5].set(cx * cy)
+    H = H.at[5, 4].set(cx)
+    H = H.at[5, 5].set(-cy * sx_)
+    Xhat = jnp.concatenate([pos, theta])
+    X = Xhat - jnp.linalg.solve(H, Ehat)
+    T1 = math3d.euler_to_matrix4(pos, theta).astype(dt)
+    T2 = math3d.euler_to_matrix4(X[:3], X[3:]).astype(dt)
+    T_inc = T1 @ math3d.m4inv(T2).astype(dt)
+    err = jnp.sqrt(stats.sum_d2 / jnp.maximum(stats.n, 1.0))
+    return T_inc, err
+
+
 MINIMIZERS = {
-    "quat": align_quat,  # -a 1
-    "svd": align_svd,  # -a 2
-    "ortho": align_svd,  # -a 3 (same optimum; ref icp6Dortho.cc)
-    "apx": align_apx,  # -a 6
+    "quat": align_quat,  # -a 1  (icp6Dquat.cc)
+    "svd": align_svd,  # -a 2  (icp6Dsvd.cc)
+    "ortho": align_svd,  # -a 3  (icp6Dortho.cc; same optimum as SVD)
+    "dual": align_dual,  # -a 4  (icp6Ddual.cc)
+    "helix": align_helix,  # -a 5  (icp6Dhelix.cc)
+    "apx": align_apx,  # -a 6  (icp6Dapx.cc)
+    "lumeuler": align_lumeuler,  # -a 7 (icp6Dlumeuler.cc)
+    "quatscale": align_quat_scale,  # -a 9 (icp6Dquatscale.cc)
 }
