@@ -58,10 +58,11 @@ def _global_stats(model, mmask, tgt_global, tmask, max_dist2, axis):
     wdd = w[:, None] * dd
     S = jax.lax.psum(jnp.einsum("ni,nj->ij", wdd, dm), axis)
     Sdd = jax.lax.psum(jnp.einsum("ni,nj->ij", wdd, dd), axis)
+    Smm = jax.lax.psum(jnp.einsum("ni,nj->ij", w[:, None] * dm, dm), axis)
     diff = m - t
     sum_d2 = jax.lax.psum(jnp.sum(w * jnp.sum(diff * diff, axis=1)), axis)
     return mz.PairStats(
-        n=n, centroid_m=cm, centroid_d=cd, S=S, Sdd=Sdd, sum_d2=sum_d2
+        n=n, centroid_m=cm, centroid_d=cd, S=S, Sdd=Sdd, Smm=Smm, sum_d2=sum_d2
     )
 
 
