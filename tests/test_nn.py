@@ -65,6 +65,22 @@ def test_masked_model_points_ignored():
     assert int(idx[0]) == 1
 
 
+def test_brute_large_extent_precision(rng):
+    """Large coordinate extents must not break the accept test (f32
+    matmul-expansion cancellation regression)."""
+    M = 5000
+    m = rng.uniform(0, 4000, (M, 3)).astype(np.float32)
+    q = (m + rng.normal(0, 5, (M, 3))).astype(np.float32)
+    mask = jnp.ones(M, bool)
+    idx, d2, found = nn.nn_brute(
+        jnp.asarray(q), mask, jnp.asarray(m), mask, 625.0
+    )
+    ridx, rd2, rfound = _np_nn(q, m, 625.0)
+    assert (np.asarray(found) == rfound).mean() > 0.999
+    sel = np.asarray(found) & rfound
+    np.testing.assert_allclose(np.asarray(d2)[sel], rd2[sel], rtol=1e-3, atol=0.5)
+
+
 def test_grid_nn_matches_brute(rng):
     m = rng.uniform(0, 200, (2000, 3)).astype(np.float32)
     q = rng.uniform(0, 200, (513, 3)).astype(np.float32)

@@ -45,24 +45,35 @@ def nn_brute(query, qmask, model, mmask, max_dist2, q_tile: int = 2048):
     Returns (idx [Q] int32, d2 [Q] f32, found [Q] bool) where found
     requires d2 < max_dist2 (strict, matching the reference boundary
     semantics) and both masks.
+
+    Precision: the matmul expansion |q|²+|m|²-2q·m cancels
+    catastrophically in f32 when the cloud extent is large (error ~
+    eps·|coord|²), so (a) coordinates are centered on the model's
+    masked mean before ranking and (b) the winning candidate's distance
+    is recomputed exactly by direct subtraction — the accept test and
+    the returned d2 carry full f32 accuracy regardless of extent.
     """
     Q = query.shape[0]
     q_tile = min(q_tile, Q)
     pad = (-Q) % q_tile
-    qp = jnp.pad(query, ((0, pad), (0, 0)))
+    center = jnp.sum(
+        jnp.where(mmask[:, None], model, 0.0), axis=0
+    ) / jnp.maximum(jnp.sum(mmask), 1)
+    qp = jnp.pad(query, ((0, pad), (0, 0))) - center
+    mc = model - center
     big = jnp.float32(3.4e38)
     minf = jnp.where(mmask, 0.0, big)[None, :]
 
     def one_tile(qt):
-        d2 = _pairwise_d2(qt, model) + minf
+        d2 = _pairwise_d2(qt, mc) + minf
         idx = jnp.argmin(d2, axis=1).astype(jnp.int32)
-        best = jnp.take_along_axis(d2, idx[:, None].astype(jnp.int64), axis=1)[:, 0]
-        return idx, best
+        return idx
 
     qtiles = qp.reshape(-1, q_tile, 3)
-    idx, best = jax.lax.map(one_tile, qtiles)
-    idx = idx.reshape(-1)[:Q]
-    best = best.reshape(-1)[:Q]
+    idx = jax.lax.map(one_tile, qtiles).reshape(-1)[:Q]
+    diff = query - model[idx]
+    best = jnp.sum(diff * diff, axis=1)
+    best = jnp.where(mmask[idx], best, big)
     found = qmask & (best < max_dist2)
     return idx, best, found
 

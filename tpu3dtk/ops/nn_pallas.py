@@ -1,0 +1,289 @@
+"""Pallas cell-list NN kernel — the TPU-native re-design of the
+reference's CUDA uniform-grid NN (src/cuda/grid_kernel.cu:314-420
+kernel_FindNN: bucket points, search 27 neighbor buckets) and the
+performance replacement for the kd-tree hot loop (SURVEY §3 hot loop #1).
+
+Design (cell-list, sort-based — no pointer chasing):
+
+1. Model and query points are bucketed into cells of edge ``max_dist``
+   and sorted by z-major cell id (ix*ny + iy)*nz + iz.
+2. Queries are processed in uniform chunks of T sorted queries.  The
+   27-cell neighborhoods of every cell in a chunk's id span [lo, hi]
+   union into 9 *contiguous* sorted-model ranges — one per (dx, dy)
+   neighbor column, spanning ids [lo+off-1, hi+off+1] with
+   off = (dx*ny + dy)*nz (the ±1 covers dz; z-wraps only add harmless
+   extra candidates, never lose true ones).
+3. The kernel DMAs the 9 ranges (padded to a static RB) from HBM into
+   VMEM, computes the [T, 9·RB] distance matrix via an MXU matmul on
+   chunk-centered coordinates (centering keeps the matmul expansion
+   exact in f32), masks invalid rows, and arg-mins.
+
+Work per query is O(27·occupancy) instead of O(M): the algorithmic win
+of the reference's grid, with the memory behavior TPUs want — big
+contiguous DMAs and one dense matmul per chunk.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["nn_cell_list", "plan_cell_list"]
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def _round_up(a, b):
+    return _cdiv(a, b) * b
+
+
+def plan_cell_list(model, mmask, query, qmask, max_dist, chunk=256):
+    """Host-side plan: sort both clouds by cell id and build the
+    per-chunk scalar table.  Returns a dict of device arrays + static
+    metadata (dims, RB).  numpy math: runs once per (model, query) pair.
+    """
+    model = np.asarray(model, np.float32)
+    query = np.asarray(query, np.float32)
+    mmask = np.asarray(mmask)
+    qmask = np.asarray(qmask)
+    cell = float(max_dist)
+    valid_m = model[mmask]
+    valid_q = query[qmask]
+    lo = np.minimum(
+        valid_m.min(0) if len(valid_m) else np.zeros(3),
+        valid_q.min(0) if len(valid_q) else np.zeros(3),
+    ).astype(np.float32)
+    origin = lo - cell  # one-cell margin so ids stay >= nz inside
+    ext = (
+        np.maximum(
+            valid_m.max(0) if len(valid_m) else np.zeros(3),
+            valid_q.max(0) if len(valid_q) else np.zeros(3),
+        )
+        - origin
+    )
+    nx, ny, nz = (int(np.ceil(e / cell)) + 2 for e in ext)
+    C = nx * ny * nz
+
+    def cell_ids(pts, mask):
+        ij = np.floor((pts - origin) / cell).astype(np.int64)
+        ij = np.clip(ij, 0, np.array([nx - 1, ny - 1, nz - 1]))
+        ids = (ij[:, 0] * ny + ij[:, 1]) * nz + ij[:, 2]
+        ids[~mask] = C  # sentinel: sorts last
+        return ids
+
+    mid = cell_ids(model, mmask)
+    morder = np.argsort(mid, kind="stable")
+    mid_s = mid[morder]
+    model_s = model[morder]
+    # CSR over cell ids (only needed at chunk granularity below)
+    cell_start = np.searchsorted(mid_s, np.arange(C + 1))
+
+    qid = cell_ids(query, qmask)
+    qorder = np.argsort(qid, kind="stable")
+    qid_s = qid[qorder]
+    Q = len(query)
+    W = _cdiv(Q, chunk)
+
+    # per-chunk: query id span -> 9 model ranges.  DMA slices must be
+    # 128-lane aligned, so store the aligned-down start + shift + len.
+    offs = [
+        (dx * ny + dy) * nz for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    ]
+    table = np.zeros((W, 2 + 27), np.int32)
+    rb = 1
+    M = len(model)
+    for w in range(W):
+        a, b = w * chunk, min((w + 1) * chunk, Q)
+        ids = qid_s[a:b]
+        ids = ids[ids < C]
+        table[w, 0] = a
+        table[w, 1] = len(ids)
+        if len(ids) == 0:
+            continue
+        lo_id, hi_id = int(ids[0]), int(ids[-1])
+        for r, off in enumerate(offs):
+            s_id = max(0, lo_id + off - 1)
+            e_id = min(C, hi_id + off + 2)
+            if s_id >= C or e_id <= 0 or s_id >= e_id:
+                table[w, 2 + 3 * r] = 0
+                table[w, 3 + 3 * r] = 0
+                table[w, 4 + 3 * r] = 0
+                continue
+            rs = int(cell_start[s_id])
+            re = int(cell_start[e_id])
+            rs_al = (rs // 128) * 128
+            table[w, 2 + 3 * r] = rs_al
+            table[w, 3 + 3 * r] = rs - rs_al  # shift within the slice
+            table[w, 4 + 3 * r] = re - rs  # true length
+            rb = max(rb, (re - rs) + (rs - rs_al))
+
+    RB = _round_up(max(rb, 128), 128)
+    # transposed [3, Npad] layout: points on the lane dimension; pad so
+    # aligned RB-slices never run off the end
+    # 8 coordinate rows (sublane tile): rows 0-2 = xyz, rest zero —
+    # zero rows drop out of every dot product
+    Mpad = _round_up(M + RB + 128, 128)
+    model_pad = np.zeros((8, Mpad), np.float32)
+    model_pad[:3, :M] = model_s.T
+    model_pad[:3, M:] = 1e30
+    qpad = _round_up(max(Q, 1), chunk)
+    query_pad = np.zeros((8, qpad), np.float32)
+    query_pad[:3, :Q] = query[qorder].T
+    return {
+        "model_sorted": jnp.asarray(model_pad),
+        "msrc": jnp.asarray(morder.astype(np.int32)),
+        "query_sorted": jnp.asarray(query_pad),
+        "qorder": jnp.asarray(qorder.astype(np.int32)),
+        "table": jnp.asarray(table),
+        "RB": int(RB),
+        "chunk": int(chunk),
+        "W": int(W),
+        "Q": Q,
+    }
+
+
+
+
+@functools.partial(jax.jit, static_argnames=("RB", "chunk", "W", "interpret"))
+def _run_kernel(table, query_sorted, model_sorted, RB, chunk, W, interpret=False):
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(W,),
+        in_specs=[
+            pl.BlockSpec((8, chunk), lambda i, tab: (0, i)),
+            # model stays in HBM; kernel DMAs 128-aligned lane slices
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=[
+            pl.BlockSpec((8, chunk), lambda i, tab: (0, i)),
+            pl.BlockSpec((8, chunk), lambda i, tab: (0, i)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((8, 9 * RB), jnp.float32),
+            pltpu.SemaphoreType.DMA((9,)),
+        ],
+    )
+    qpad = query_sorted.shape[1]
+
+    # 8 sublane rows per output tile (min f32 tile); row 0 is the data
+    out_shape = [
+        jax.ShapeDtypeStruct((8, W * chunk), jnp.int32),
+        jax.ShapeDtypeStruct((8, W * chunk), jnp.float32),
+    ]
+
+    def kernel(tab_ref, q_ref, model_hbm, idx_ref, d2_ref, cand, sems):
+        i = pl.program_id(0)
+        # 9 candidate-range DMAs: 128-aligned lane slices of the [3, N]
+        # model into flat [3, 9*RB] scratch (np.int32 indices — python
+        # ints lower to i64 under x64)
+        for r in range(9):
+            st = pl.multiple_of(tab_ref[i, 2 + 3 * r], 128)
+            pltpu.make_async_copy(
+                model_hbm.at[:, pl.ds(st, RB)],
+                cand.at[:, pl.ds(np.int32(r * RB), RB)],
+                sems.at[np.int32(r)],
+            ).start()
+        for r in range(9):
+            st = pl.multiple_of(tab_ref[i, 2 + 3 * r], 128)
+            pltpu.make_async_copy(
+                model_hbm.at[:, pl.ds(st, RB)],
+                cand.at[:, pl.ds(np.int32(r * RB), RB)],
+                sems.at[np.int32(r)],
+            ).wait()
+        q = q_ref[:]  # [8, T]
+        c = cand[:]  # [8, 9*RB]
+        # center on the chunk's first query: keeps the matmul expansion
+        # exact in f32.  |q|^2 is constant per row and irrelevant to the
+        # argmin; the winner's true distance is recomputed outside.
+        ctr = q[:, 0:1]
+        qc = q - ctr
+        cc = c - ctr
+        cross = jax.lax.dot_general(
+            qc, cc, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [T, 9RB]
+        c2 = jnp.sum(cc * cc, axis=0, keepdims=True)  # [1, 9RB]
+        d2 = c2 - 2.0 * cross  # ranking score (d^2 - |q|^2)
+        # per-slot range id r = f // RB, lane offset j = f % RB
+        f = jax.lax.broadcasted_iota(jnp.int32, (1, 9 * RB), 1)
+        jj = f % np.int32(RB)
+        rr = f // np.int32(RB)
+        lo_flat = jnp.zeros((1, 9 * RB), jnp.int32)
+        hi_flat = jnp.zeros((1, 9 * RB), jnp.int32)
+        base_flat = jnp.zeros((1, 9 * RB), jnp.int32)
+        for r in range(9):
+            sel = rr == np.int32(r)
+            shift = tab_ref[i, 3 + 3 * r]
+            ln = tab_ref[i, 4 + 3 * r]
+            lo_flat = jnp.where(sel, shift, lo_flat)
+            hi_flat = jnp.where(sel, shift + ln, hi_flat)
+            base_flat = jnp.where(sel, tab_ref[i, 2 + 3 * r], base_flat)
+        valid = (jj >= lo_flat) & (jj < hi_flat)
+        rows_flat = base_flat + jj  # absolute sorted-model rows
+        d2 = jnp.where(valid, d2, jnp.float32(3.4e38))
+        best = jax.lax.argmin(d2, 1, jnp.int32)
+        bestd = jnp.min(d2, axis=1)
+        # row lookup via one-hot reduce (no dynamic gather on TPU);
+        # f32 accumulate keeps Mosaic's int conversions out of the sum
+        cols = jax.lax.broadcasted_iota(jnp.int32, (chunk, 9 * RB), 1)
+        onehot = cols == best[:, None]
+        rows_f = jnp.sum(
+            jnp.where(onehot, rows_flat.astype(jnp.float32), 0.0),
+            axis=1,
+        )
+        idx_ref[:, :] = jnp.broadcast_to(
+            rows_f.astype(jnp.int32)[None, :], (8, chunk)
+        )
+        d2_ref[:, :] = jnp.broadcast_to(bestd[None, :], (8, chunk))
+
+    idx2, d22 = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(table, query_sorted, model_sorted)
+    return idx2[0], d22[0]
+
+
+def nn_cell_list(model, mmask, query, qmask, max_dist2, chunk: int = 256):
+    """Grid NN via the Pallas cell-list kernel.  Same contract as
+    ops.nn.nn_brute: returns (idx [Q] int32 into `model`, d2 [Q] f32,
+    found [Q] bool with strict d2 < max_dist2)."""
+    max_dist = float(np.sqrt(max_dist2))
+    plan = plan_cell_list(model, mmask, query, qmask, max_dist, chunk)
+    interpret = jax.default_backend() == "cpu"
+    rows, d2s = _run_kernel(
+        plan["table"],
+        plan["query_sorted"],
+        plan["model_sorted"],
+        plan["RB"],
+        plan["chunk"],
+        plan["W"],
+        interpret=interpret,
+    )
+    Q = plan["Q"]
+    rows = rows[:Q]
+    d2s = d2s[:Q]
+    M = np.asarray(model).shape[0]
+    rows_c = jnp.clip(rows, 0, M - 1)
+    idx_sorted_space = plan["msrc"][rows_c]
+    # exact recompute in original coordinates (query_sorted is [8, N])
+    qs = plan["query_sorted"][:3].T[:Q]
+    diff = qs - jnp.asarray(model, jnp.float32)[idx_sorted_space]
+    d2x = jnp.sum(diff * diff, axis=1)
+    found_sorted = (d2x < max_dist2) & (rows < M)
+    # unsort back to caller's query order
+    inv = jnp.zeros(Q, jnp.int32).at[plan["qorder"]].set(
+        jnp.arange(Q, dtype=jnp.int32)
+    )
+    idx = idx_sorted_space[inv]
+    d2 = d2x[inv]
+    found = found_sorted[inv] & jnp.asarray(qmask)
+    return idx, d2, found
