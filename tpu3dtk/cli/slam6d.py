@@ -69,6 +69,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-q", "--quiet", action="store_true")
     p.add_argument("--exportAllPoints", action="store_true")
     p.add_argument("--frames-out", default=None, help="directory for .frames (default: scan dir)")
+    p.add_argument(
+        "--continue", dest="continue_processing", action="store_true",
+        help="resume from existing .frames (ref slam6D --continue)",
+    )
+    p.add_argument(
+        "--prefetch", type=int, default=2,
+        help="scans to read ahead in background threads (0 disables)",
+    )
     return p
 
 
@@ -87,13 +95,31 @@ def main(argv=None) -> int:
         range_min=args.min_range if args.min_range > 0 else None,
     )
     with metrics.time(SCAN_LOAD):
+        if args.prefetch > 0:
+            from ..io.cache import prefetch_scans
+
+            raw_iter = prefetch_scans(
+                args.dir, format=args.format, start=args.start,
+                end=args.end, point_filter=pf, lookahead=args.prefetch,
+            )
+        else:
+            raw_iter = read_scan_dir(
+                args.dir, format=args.format, start=args.start,
+                end=args.end, point_filter=pf,
+            )
         scans = []
-        for raw in read_scan_dir(
-            args.dir, format=args.format, start=args.start, end=args.end,
-            point_filter=pf,
-        ):
+        for raw in raw_iter:
             s = TPUScan.from_raw(raw)
             s.set_reduction(args.reduce, args.octree if args.reduce > 0 else 0)
+            if args.continue_processing:
+                # resume from the last .frames pose (ref slam6D.cc:628,
+                # Scan::continueProcessing, basicScan.cc:902-945)
+                fp = frames_io.frames_path(args.dir, s.identifier)
+                if os.path.exists(fp):
+                    T = frames_io.final_pose(fp)
+                    s.transMat = np.asarray(T)
+                    s.transMatOrg = np.asarray(T)
+                    s.dalignxf = np.eye(4)
             scans.append(s)
     if not scans:
         print(f"no scans found in {args.dir}", file=sys.stderr)
@@ -108,6 +134,36 @@ def main(argv=None) -> int:
         minimizer=ALGO_NAMES.get(args.algo, "quat"),
         subsample=max(args.random, 1),
     )
+    out_dir = args.frames_out or args.dir
+
+    def save_frames():
+        """Persist pose logs; also invoked on crash/interrupt so partial
+        registration survives (ref slam6D.cc:92-112 signal handler)."""
+        try:
+            for s in scans:
+                if not s.frames:
+                    continue
+                mats = np.stack([f[0] for f in s.frames])
+                types = [f[1] for f in s.frames]
+                frames_io.write_frames(
+                    frames_io.frames_path(out_dir, s.identifier), mats, types
+                )
+        except OSError as e:
+            print(f"cannot write .frames to {out_dir}: {e}", file=sys.stderr)
+
+    import signal
+
+    def on_signal(signum, frame):
+        print(f"signal {signum}: saving .frames before exit", file=sys.stderr)
+        save_frames()
+        raise SystemExit(128 + signum)
+
+    for sig in (signal.SIGINT, signal.SIGTERM):
+        try:
+            signal.signal(sig, on_signal)
+        except ValueError:
+            pass  # not the main thread
+
     t0 = time.perf_counter()
     with metrics.time(MATCHING):
         if args.graphSlam6DAlgo > 0 or args.loop6DAlgo > 0:
@@ -137,16 +193,7 @@ def main(argv=None) -> int:
     # ref slam6D.cc:874-875
     print(f"Matching done in {dt:.0f} milliseconds!!!")
 
-    out_dir = args.frames_out or args.dir
-    try:
-        for s in scans:
-            mats = np.stack([f[0] for f in s.frames])
-            types = [f[1] for f in s.frames]
-            frames_io.write_frames(
-                frames_io.frames_path(out_dir, s.identifier), mats, types
-            )
-    except OSError as e:
-        print(f"cannot write .frames to {out_dir}: {e}", file=sys.stderr)
+    save_frames()
 
     if args.exportAllPoints:
         from ..io.writer import write_uos
