@@ -1,0 +1,108 @@
+"""Dynamic-object removal by free-space voxel carving — the TPU-native
+``peopleremover`` (ref src/peopleremover/: Schauer/Nüchter change
+detection; ``walk_voxels`` ray traversal at common.cc:112, per-scan
+masks written for points whose voxel another scan saw *through*).
+
+TPU re-design: instead of a per-ray incremental voxel walk (sequential
+CPU idiom), every ray is sampled parametrically at half-voxel steps —
+an [R, K, 3] tensor op — and the visited voxel ids are scattered into a
+per-scan boolean grid.  A per-scan bitmask grid then answers "seen
+through by any *other* scan" with pure elementwise ops.  Half-voxel
+sampling visits a conservative superset/subset tradeoff of the exact
+6-connected walk; corner-clipped voxels may be skipped (grazing rays),
+which only makes removal slightly conservative.
+
+Supports up to 32 scans per call (bitmask width); call in windows for
+longer sequences like the reference's partitioned runs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+__all__ = ["PeopleRemoverParams", "remove_dynamic_points"]
+
+
+@dataclasses.dataclass
+class PeopleRemoverParams:
+    voxel_size: float = 10.0  # cm (ref --voxel-size)
+    end_offset: float = 1.0  # stop the ray this many voxels before the hit
+    # (ref walk_voxels stops before the endpoint so the surface voxel
+    # itself is not carved)
+    max_range: float | None = None  # ignore rays longer than this
+
+
+def remove_dynamic_points(
+    scan_points: list[np.ndarray],
+    scan_origins: list[np.ndarray],
+    params: PeopleRemoverParams | None = None,
+) -> list[np.ndarray]:
+    """Compute per-scan keep-masks.
+
+    scan_points[i]: [Ni, 3] global-frame points of scan i;
+    scan_origins[i]: [3] scanner position in the global frame.
+    Returns keep_mask[i]: [Ni] bool — False for points in voxels that a
+    *different* scan saw through (dynamic points).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    params = params or PeopleRemoverParams()
+    S = len(scan_points)
+    if S > 32:
+        raise ValueError("max 32 scans per call (bitmask width)")
+    vs = float(params.voxel_size)
+    allpts = np.concatenate([np.asarray(p) for p in scan_points], axis=0)
+    origin = allpts.min(0) - vs
+    top = allpts.max(0) + vs
+    dims = tuple(int(np.ceil((t - o) / vs)) + 1 for o, t in zip(origin, top))
+    nx, ny, nz = dims
+    C = nx * ny * nz
+
+    def vox_id(pts):
+        ij = jnp.clip(
+            jnp.floor((pts - origin) / vs).astype(jnp.int32),
+            0,
+            jnp.asarray([nx - 1, ny - 1, nz - 1]),
+        )
+        return (ij[..., 0] * ny + ij[..., 1]) * nz + ij[..., 2]
+
+    # per-scan free-space bitmask
+    seen_bits = jnp.zeros((C,), jnp.uint32)
+    occupied = []  # voxel ids per scan's endpoints
+    for s in range(S):
+        pts = jnp.asarray(scan_points[s], jnp.float32)
+        org = jnp.asarray(scan_origins[s], jnp.float32)
+        ray = pts - org
+        rlen = jnp.linalg.norm(ray, axis=1)
+        if params.max_range is not None:
+            valid = rlen < params.max_range
+        else:
+            valid = jnp.ones(len(pts), bool)
+        # sample at half-voxel steps up to (len - end_offset*vs)
+        tmax = jnp.maximum(rlen - params.end_offset * vs, 0.0) / jnp.maximum(
+            rlen, 1e-9
+        )
+        kmax = int(np.ceil(float(jnp.max(rlen)) / (0.5 * vs))) + 1
+        tsteps = jnp.arange(1, kmax + 1, dtype=jnp.float32) * (0.5 * vs)
+        t = jnp.minimum(tsteps[None, :] / jnp.maximum(rlen, 1e-9)[:, None], tmax[:, None])
+        samples = org[None, None, :] + ray[:, None, :] * t[:, :, None]
+        ids = vox_id(samples)  # [N, K]
+        # mask out samples at/after tmax duplicates? duplicates are
+        # harmless for a boolean OR; invalid rays -> voxel 0 is fine to
+        # skip via where
+        ids = jnp.where(valid[:, None], ids, 0)
+        free = jnp.zeros((C,), bool).at[ids.reshape(-1)].set(True, mode="drop")
+        # never carve the voxel the sample-0 duplicate (origin area) —
+        # keep semantics simple: OR into the bitmask
+        seen_bits = seen_bits | jnp.where(free, jnp.uint32(1 << s), jnp.uint32(0))
+        occupied.append(vox_id(pts))
+
+    masks = []
+    for s in range(S):
+        bits = seen_bits[occupied[s]]
+        other = bits & jnp.uint32(~np.uint32(1 << s) & 0xFFFFFFFF)
+        masks.append(np.asarray(other == 0))
+    return masks
