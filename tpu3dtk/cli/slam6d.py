@@ -36,7 +36,7 @@ import numpy as np
 
 ALGO_NAMES = {
     1: "quat", 2: "svd", 3: "ortho", 4: "dual", 5: "helix",
-    6: "apx", 7: "lumeuler", 9: "quatscale",
+    6: "apx", 7: "lumeuler", 8: "lumquat", 9: "quatscale", 10: "napx",
 }
 
 

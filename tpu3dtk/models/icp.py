@@ -146,7 +146,7 @@ def icp_pair(
             pairing=pairing, tgt_normals=normals_g,
         )
         enough = stats.n > 3
-        if minimizer == "lumeuler":
+        if minimizer in ("lumeuler", "lumquat"):
             # ref icp6D.cc:242-245: algo 7/8 receive the current pose
             align, err = align_fn(stats, T)
         else:

