@@ -1,1 +1,1 @@
-from . import icp_shard, mesh  # noqa: F401
+from . import icp_shard, lum_shard, mesh  # noqa: F401
