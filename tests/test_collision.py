@@ -1,0 +1,25 @@
+"""Collision detection tests."""
+
+import numpy as np
+
+from tpu3dtk.core import math3d
+from tpu3dtk.models.collision import CollisionParams, detect_collisions
+
+
+def test_trajectory_collision(rng):
+    # environment: wall at x=100
+    env = np.stack(
+        [np.full(2000, 100.0), rng.uniform(-200, 200, 2000), rng.uniform(-200, 200, 2000)],
+        axis=1,
+    )
+    # model: small cube at origin
+    model = rng.uniform(-5, 5, (200, 3))
+    # trajectory moves along +x: poses at x = 0, 50, 93, 120
+    poses = np.stack(
+        [np.asarray(math3d.euler_to_matrix4([x, 0, 0], np.zeros(3))) for x in (0.0, 50.0, 93.0, 120.0)]
+    )
+    colliding, hits = detect_collisions(env, model, poses, CollisionParams(radius=10.0))
+    assert not colliding[0] and not colliding[1]
+    assert colliding[2]  # model surface within 10cm of wall
+    assert colliding[3]  # inside the wall
+    assert hits[3] > hits[2] >= 1
