@@ -115,3 +115,14 @@ def test_frames_tagged_lum(rng):
 
     assert scans[1].frames[-1][1] == int(AlgoType.LUM)
     assert len({len(s.frames) for s in scans}) == 1
+
+
+def test_read_net_graph(tmp_path):
+    p = tmp_path / "g.net"
+    p.write_text("4\n3\n0 1\n1 2\n3 0\n")
+    links = gs.read_net_graph(str(p))
+    np.testing.assert_array_equal(links, [[0, 1], [1, 2], [3, 0]])
+    bad = tmp_path / "bad.net"
+    bad.write_text("2\n1\n0 5\n")
+    with pytest.raises(ValueError):
+        gs.read_net_graph(str(bad))

@@ -66,6 +66,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-L", "--loop6DAlgo", type=int, default=0)
     p.add_argument("--cldist", type=float, default=500.0)
     p.add_argument("--loopsize", type=int, default=20)
+    p.add_argument("-n", "--net", default=None, help="explicit .net pose-graph file")
     p.add_argument("-q", "--quiet", action="store_true")
     p.add_argument("--exportAllPoints", action="store_true")
     p.add_argument("--frames-out", default=None, help="directory for .frames (default: scan dir)")
@@ -166,7 +167,23 @@ def main(argv=None) -> int:
 
     t0 = time.perf_counter()
     with metrics.time(MATCHING):
-        if args.graphSlam6DAlgo > 0 or args.loop6DAlgo > 0:
+        if args.net:
+            # explicit .net graph: sequential ICP then LUM over the
+            # given links (bremen_city workflow, README.md:97-103)
+            from ..models import graphslam as gs
+
+            reg = SequenceRegistration(params=params, metascan=args.metascan)
+            results = reg.run(scans)
+            links = gs.read_net_graph(args.net)
+            gs.do_graph_slam(
+                scans, links,
+                gs.LumParams(
+                    max_dist_match2=args.distSLAM**2 if args.distSLAM > 0 else args.dist**2,
+                    iterations=args.iterSLAM,
+                    epsilon=args.epsSLAM,
+                ),
+            )
+        elif args.graphSlam6DAlgo > 0 or args.loop6DAlgo > 0:
             from ..models.graph_pipeline import GraphPipeline
 
             pipe = GraphPipeline(

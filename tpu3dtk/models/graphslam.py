@@ -49,6 +49,22 @@ __all__ = [
 ]
 
 
+def read_net_graph(path: str) -> np.ndarray:
+    """Explicit pose-graph file: first line = #scans, second = #links,
+    then one 'from to' pair per line (ref Graph::Graph(netfile),
+    src/slam6d/graph.cc:53-75; used by the bremen_city config's
+    ``-n bremen.net``).  Returns links [L, 2] int32."""
+    with open(path) as f:
+        tokens = f.read().split()
+    n_scans = int(tokens[0])
+    n_links = int(tokens[1])
+    vals = list(map(int, tokens[2 : 2 + 2 * n_links]))
+    links = np.asarray(vals, np.int32).reshape(-1, 2)
+    if links.max(initial=0) >= n_scans:
+        raise ValueError(f"{path}: link index beyond {n_scans} scans")
+    return links
+
+
 def build_proximity_graph(
     positions: np.ndarray, cldist2: float, loopsize: int
 ) -> np.ndarray:
