@@ -100,12 +100,22 @@ def list_identifiers(directory: str, spec: FormatSpec, start: int = 0, end: int 
 
 
 def _load_data_file(path: str, spec: FormatSpec) -> np.ndarray:
-    """Fast-ish whitespace table loader."""
-    with open(path, "rb") as f:
-        for _ in range(spec.skip_header_lines):
-            f.readline()
-        data = np.loadtxt(f, dtype=np.float64, ndmin=2)
-    return data
+    """Whitespace table loader.  numpy >= 2 ships a C tokenizer that
+    matches our native parser's speed, so it is the primary path; the
+    native C++ parser (tpu3dtk.native) handles files numpy rejects
+    (ragged rows, stray tokens)."""
+    try:
+        with open(path, "rb") as f:
+            for _ in range(spec.skip_header_lines):
+                f.readline()
+            return np.loadtxt(f, dtype=np.float64, ndmin=2)
+    except ValueError:
+        from .. import native
+
+        data = native.parse_table(path, spec.skip_header_lines)
+        if data is None:
+            raise
+        return data
 
 
 def read_scan(
