@@ -67,6 +67,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cldist", type=float, default=500.0)
     p.add_argument("--loopsize", type=int, default=20)
     p.add_argument("-n", "--net", default=None, help="explicit .net pose-graph file")
+    p.add_argument(
+        "--plane", dest="point_to_plane", action="store_true",
+        help="point-to-plane pairing (ref CLOSEST_PLANE_SIMPLE)",
+    )
+    p.add_argument(
+        "--normalShoot", dest="normal_shoot", action="store_true",
+        help="normal-shooting pairing (ref CLOSEST_POINT_ALONG_NORMAL_SIMPLE)",
+    )
     p.add_argument("-q", "--quiet", action="store_true")
     p.add_argument("--exportAllPoints", action="store_true")
     p.add_argument("--frames-out", default=None, help="directory for .frames (default: scan dir)")
@@ -128,12 +136,18 @@ def main(argv=None) -> int:
     if not args.quiet:
         print(f"loaded {len(scans)} scans from {args.dir}")
 
+    pairing = "closest_point"
+    if args.point_to_plane:
+        pairing = "closest_plane"  # ref slam6D.cc:361
+    if args.normal_shoot:
+        pairing = "along_normal"  # ref slam6D.cc:362
     params = IcpParams(
         max_dist_match2=args.dist**2,
         max_iterations=args.iter,
         epsilon=args.epsICP,
         minimizer=ALGO_NAMES.get(args.algo, "quat"),
         subsample=max(args.random, 1),
+        pairing=pairing,
     )
     out_dir = args.frames_out or args.dir
 
