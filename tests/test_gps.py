@@ -26,7 +26,9 @@ def test_wuerzburg_regression():
 def test_southern_hemisphere():
     e, n, zone = latlon_to_utm(-33.8688, 151.2093)  # Sydney
     assert zone == 56
-    assert 9000000 < n < 10000000  # false northing applied
+    # UTM 56S plausibility band (false northing applied)
+    assert 330000 < e < 340000
+    assert 6.2e6 < n < 6.3e6
 
 
 def test_scan_to_utm_shift():
