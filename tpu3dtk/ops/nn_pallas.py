@@ -157,13 +157,19 @@ def _run_kernel(table, query_sorted, model_sorted, RB, chunk, W, interpret=False
         num_scalar_prefetch=1,
         grid=(W,),
         in_specs=[
-            pl.BlockSpec((8, chunk), lambda i, tab: (0, i)),
+            # i - i keeps the index i32 (a literal 0 lowers to i64
+            # under jax_enable_x64 and fails Mosaic legalization)
+            pl.BlockSpec((8, chunk), lambda i, tab: (i - i, i)),
             # model stays in HBM; kernel DMAs 128-aligned lane slices
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=[
-            pl.BlockSpec((8, chunk), lambda i, tab: (0, i)),
-            pl.BlockSpec((8, chunk), lambda i, tab: (0, i)),
+            # i - i keeps the index i32 (a literal 0 lowers to i64
+            # under jax_enable_x64 and fails Mosaic legalization)
+            pl.BlockSpec((8, chunk), lambda i, tab: (i - i, i)),
+            # i - i keeps the index i32 (a literal 0 lowers to i64
+            # under jax_enable_x64 and fails Mosaic legalization)
+            pl.BlockSpec((8, chunk), lambda i, tab: (i - i, i)),
         ],
         scratch_shapes=[
             pltpu.VMEM((8, 9 * RB), jnp.float32),
@@ -269,21 +275,23 @@ def nn_cell_list(model, mmask, query, qmask, max_dist2, chunk: int = 256):
         interpret=interpret,
     )
     Q = plan["Q"]
-    rows = rows[:Q]
-    d2s = d2s[:Q]
+    rows = np.asarray(rows)[:Q]
     M = np.asarray(model).shape[0]
-    rows_c = jnp.clip(rows, 0, M - 1)
-    idx_sorted_space = plan["msrc"][rows_c]
-    # exact recompute in original coordinates (query_sorted is [8, N])
-    qs = plan["query_sorted"][:3].T[:Q]
-    diff = qs - jnp.asarray(model, jnp.float32)[idx_sorted_space]
-    d2x = jnp.sum(diff * diff, axis=1)
+    rows_c = np.clip(rows, 0, M - 1)
+    msrc = np.asarray(plan["msrc"])
+    idx_sorted_space = msrc[rows_c]
+    # exact recompute in original coordinates (host numpy: cheap and
+    # backend-independent; query_sorted is [8, N] transposed/padded)
+    qs = np.asarray(plan["query_sorted"])[:3].T[:Q].astype(np.float64)
+    mref = np.asarray(model, np.float64)
+    diff = qs - mref[idx_sorted_space]
+    d2x = np.einsum("ij,ij->i", diff, diff).astype(np.float32)
     found_sorted = (d2x < max_dist2) & (rows < M)
     # unsort back to caller's query order
-    inv = jnp.zeros(Q, jnp.int32).at[plan["qorder"]].set(
-        jnp.arange(Q, dtype=jnp.int32)
-    )
+    qorder = np.asarray(plan["qorder"])
+    inv = np.zeros(Q, np.int64)
+    inv[qorder] = np.arange(Q)
     idx = idx_sorted_space[inv]
     d2 = d2x[inv]
-    found = found_sorted[inv] & jnp.asarray(qmask)
+    found = found_sorted[inv] & np.asarray(qmask)
     return idx, d2, found
