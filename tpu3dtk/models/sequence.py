@@ -28,6 +28,17 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+def _bucket_cap(n: int, base: int) -> int:
+    """Round up to a power-of-two multiple of base: bounds the number of
+    distinct compiled shapes to O(log(total points)) over a whole
+    sequence (SURVEY §7 'hard parts' #3 — metascan model sizes grow per
+    scan; without bucketing every pair recompiles)."""
+    cap = base
+    while cap < n:
+        cap *= 2
+    return cap
+
+
 @dataclasses.dataclass
 class SequenceRegistration:
     """Registration run over an ordered scan list."""
@@ -74,7 +85,8 @@ class SequenceRegistration:
         else:
             model_scans = [prev]
 
-        mcap = _round_up(cap * len(model_scans), self.pad_multiple)
+        n_model = sum(len(ms.reduced_local()) for ms in model_scans)
+        mcap = _bucket_cap(n_model, self.pad_multiple)
         model_pts = np.zeros((mcap, 3), dtype=np.float32)
         model_mask = np.zeros(mcap, dtype=bool)
         o = 0
