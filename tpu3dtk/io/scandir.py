@@ -81,22 +81,24 @@ def read_pose_file(path: str) -> tuple[np.ndarray, np.ndarray]:
 
 def list_identifiers(directory: str, spec: FormatSpec, start: int = 0, end: int = -1) -> list[str]:
     """Find scan identifiers (zero-padded numeric suffixes) present in the
-    directory, honoring [start, end] (ref readDirectory semantics)."""
-    pat = re.compile(
-        re.escape(spec.data_prefix) + r"(\d+)" + re.escape(spec.data_suffix) + r"$"
-    )
-    ids = []
+    directory, honoring [start, end] (ref readDirectory semantics; alt
+    suffixes mirror the laz reader's .laz-then-.las fallback,
+    scan_io_laz.cc:51-52)."""
+    suffixes = (spec.data_suffix,) + spec.alt_suffixes
+    pats = [
+        re.compile(re.escape(spec.data_prefix) + r"(\d+)" + re.escape(s) + r"$")
+        for s in suffixes
+    ]
+    ids: set[str] = set()
     for fn in sorted(os.listdir(directory)):
-        m = pat.match(fn)
-        if m:
-            num = int(m.group(1))
-            if num < start:
-                continue
-            if end >= 0 and num > end:
-                continue
-            ids.append(m.group(1))
-    ids.sort(key=lambda s: int(s))
-    return ids
+        for pat in pats:
+            m = pat.match(fn)
+            if m:
+                num = int(m.group(1))
+                if num >= start and (end < 0 or num <= end):
+                    ids.add(m.group(1))
+                break
+    return sorted(ids, key=int)
 
 
 def _load_data_file(path: str, spec: FormatSpec) -> np.ndarray:
@@ -118,6 +120,43 @@ def _load_data_file(path: str, spec: FormatSpec) -> np.ndarray:
         return data
 
 
+def _read_pose_riegl(path: str) -> tuple[np.ndarray, np.ndarray]:
+    """RIEGL .dat pose: 16 doubles, a row-major 4x4 in the RIEGL frame
+    (translation at slots 3/7/11), remapped into a column-major uos-frame
+    matrix exactly as scan_io_riegl_txt.cc:73-98."""
+    from ..core import math3d
+
+    m = np.loadtxt(path, dtype=np.float64).reshape(-1)
+    if m.size < 16:
+        raise ValueError(f"riegl pose file {path} has {m.size} < 16 values")
+    t = np.array(
+        [
+            m[5], -m[9], -m[1], -m[13],
+            -m[6], m[10], m[2], m[14],
+            -m[4], m[8], m[0], m[12],
+            -m[7], m[11], m[3], m[15],
+        ]
+    )
+    T = math3d.from_colmajor16(t)
+    theta, pos = math3d.matrix4_to_euler(T)
+    return 100.0 * np.asarray(pos), np.asarray(theta)
+
+
+def _read_pose_ks(path: str) -> tuple[np.ndarray, np.ndarray]:
+    """ks pose: standard .pose values, then CAD-map axis remap
+    [x,y,z] -> [-z,y,x] and m -> cm (scan_io_ks.cc:30-41)."""
+    pos, theta = read_pose_file(path)
+    pos = np.array([-pos[2], pos[1], pos[0]]) * 100.0
+    return pos, theta
+
+
+_POSE_READERS = {
+    "pose": read_pose_file,
+    "riegl": _read_pose_riegl,
+    "ks": _read_pose_ks,
+}
+
+
 def read_scan(
     directory: str,
     identifier: str,
@@ -127,13 +166,25 @@ def read_scan(
     data_path = os.path.join(
         directory, f"{spec.data_prefix}{identifier}{spec.data_suffix}"
     )
+    if not os.path.exists(data_path):
+        for alt in spec.alt_suffixes:
+            cand = os.path.join(directory, f"{spec.data_prefix}{identifier}{alt}")
+            if os.path.exists(cand):
+                data_path = cand
+                break
     pose_path = os.path.join(
         directory, f"{spec.pose_prefix}{identifier}{spec.pose_suffix}"
     )
-    raw = _load_data_file(data_path, spec)
-    channels = parse_scan_text(raw, spec)
+    if spec.binary == "las":
+        from .las import read_las
+
+        channels = read_las(data_path)
+        channels["xyz"] = spec.transform(channels["xyz"])
+    else:
+        raw = _load_data_file(data_path, spec)
+        channels = parse_scan_text(raw, spec)
     if os.path.exists(pose_path):
-        pos, theta = read_pose_file(pose_path)
+        pos, theta = _POSE_READERS[spec.pose_reader](pose_path)
     else:
         pos = np.zeros(3)
         theta = np.zeros(3)
