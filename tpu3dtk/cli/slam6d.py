@@ -209,6 +209,7 @@ def main(argv=None) -> int:
                 elch=args.loop6DAlgo == 4,
                 cldist=args.cldist,
                 loopsize=args.loopsize,
+                slam_algo=max(args.graphSlam6DAlgo, 1),
             )
             results = pipe.run(scans)
         else:

@@ -38,6 +38,14 @@ class GraphPipeline:
     loopsize: int = 20
     mdmll: float = -1.0  # --DlastSLAM (final pass match distance)
     graph_dist: float = -1.0  # --graphDist (final pass graph distance)
+    slam_algo: int = 1  # -G: 1 lum6DEuler, 2 lum6DQuat, 3 ghelix6DQ2, 4 gapx6D
+
+    def _do_graph_slam(self, scans, links, params):
+        if self.slam_algo in (0, 1):
+            return gs.do_graph_slam(scans, links, params)
+        from .graphslam_variants import GRAPHSLAM_VARIANTS
+
+        return GRAPHSLAM_VARIANTS[self.slam_algo](scans, links, params)
 
     def run(self, scans: list[TPUScan]) -> list[dict]:
         n = len(scans)
@@ -105,7 +113,7 @@ class GraphPipeline:
             links = gs.build_proximity_graph(
                 positions, self.cldist**2, self.loopsize
             )
-            gs.do_graph_slam(
+            self._do_graph_slam(
                 sub,
                 links,
                 gs.LumParams(
@@ -118,7 +126,7 @@ class GraphPipeline:
     def _relax(self, scans, max_dist2, graph_cld2):
         positions = np.stack([s.rPos for s in scans])
         links = gs.build_proximity_graph(positions, graph_cld2, self.loopsize)
-        gs.do_graph_slam(
+        self._do_graph_slam(
             scans,
             links,
             gs.LumParams(
