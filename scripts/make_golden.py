@@ -1,0 +1,303 @@
+"""Build the accuracy oracle (BASELINE.md step 2).
+
+The reference binary cannot be built here (no Boost/SuiteSparse, zero
+egress), so the oracle is an INDEPENDENT f64 CPU implementation of the
+reference pipeline — scipy cKDTree NN (the kd-tree role,
+include/slam6d/kdTreeImpl.h:345), f64 Horn-quaternion ICP
+(src/slam6d/icp6D.cc:104-285) and f64 LUM relaxation
+(src/slam6d/lum6Deuler.cc:94-477) — run to tight convergence.  Its
+final poses are committed as golden `.frames`:
+
+- tests/golden/dat/       — the bundled dat/ 3-scan sequence
+  (metascan ICP + LUM, the bench.py workload)
+- tests/golden/loop60/    — a synthetic 60-scan loop with EXACT
+  ground-truth poses (written directly; the pipeline must recover them)
+
+tests/test_ate.py asserts the TPU pipeline's ATE against these files;
+bench.py reports the dat ATE every run.
+
+Usage: PYTHONPATH=/root/repo python scripts/make_golden.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+from scipy.spatial import cKDTree
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+GOLDEN = os.path.join(REPO, "tests", "golden")
+
+
+# ---------------------------------------------------------------------------
+# f64 reference-equivalent ICP (same math as measure_reference.py)
+# ---------------------------------------------------------------------------
+
+
+def horn_quat_f64(m, t):
+    n = len(m)
+    cm, cd = m.mean(0), t.mean(0)
+    S = (t - cd).T @ (m - cm) / n
+    tr = np.trace(S)
+    A = np.array([S[1, 2] - S[2, 1], S[2, 0] - S[0, 2], S[0, 1] - S[1, 0]])
+    Q = np.empty((4, 4))
+    Q[0, 0] = tr
+    Q[0, 1:] = A
+    Q[1:, 0] = A
+    Q[1:, 1:] = S + S.T - np.eye(3) * tr
+    w, v = np.linalg.eigh(Q)
+    qw, qx, qy, qz = v[:, -1]
+    R = np.array(
+        [
+            [qw * qw + qx * qx - qy * qy - qz * qz, 2 * (qx * qy - qw * qz), 2 * (qx * qz + qw * qy)],
+            [2 * (qx * qy + qw * qz), qw * qw - qx * qx + qy * qy - qz * qz, 2 * (qy * qz - qw * qx)],
+            [2 * (qx * qz - qw * qy), 2 * (qy * qz + qw * qx), qw * qw - qx * qx - qy * qy + qz * qz],
+        ]
+    )
+    align = np.eye(4)
+    align[:3, :3] = R
+    align[:3, 3] = cm - R @ cd
+    return align
+
+
+def icp_f64(model, target_local, T0, max_dist2, max_iter=200, eps=1e-9):
+    tree = cKDTree(model)
+    T = T0.copy()
+    ret = prev = prev2 = 0.0
+    for _ in range(max_iter):
+        prev2, prev = prev, ret
+        tgt = target_local @ T[:3, :3].T + T[:3, 3]
+        d, idx = tree.query(tgt, workers=-1)
+        sel = d * d < max_dist2
+        if sel.sum() <= 3:
+            break
+        align = horn_quat_f64(model[idx[sel]], tgt[sel])
+        T = align @ T
+        ret = float(np.sqrt((d[sel] ** 2).mean()))
+        if abs(ret - prev) < eps and abs(ret - prev2) < eps:
+            break
+    return T
+
+
+# ---------------------------------------------------------------------------
+# f64 reference-equivalent LUM (lum6Deuler.cc math, independent impl)
+# ---------------------------------------------------------------------------
+
+
+def lum_link_f64(pi, pj, max_dist2):
+    """C (6,6), CD (6,) for one link: NN of j's points among i's."""
+    tree = cKDTree(pi)
+    d, idx = tree.query(pj, workers=-1)
+    sel = d * d < max_dist2
+    a, b = pi[idx[sel]], pj[sel]
+    m = sel.sum()
+    if m <= 2:
+        return np.zeros((6, 6)), np.zeros(6)
+    mid = 0.5 * (a + b)
+    dd = a - b
+    x, y, z = mid.T
+    dx, dy, dz = dd.T
+    MZ = np.array(
+        [
+            dx.sum(), dy.sum(), dz.sum(),
+            (-z * dy + y * dz).sum(),
+            (-y * dx + x * dy).sum(),
+            (z * dx - x * dz).sum(),
+        ]
+    )
+    sx, sy, sz = x.sum(), y.sum(), z.sum()
+    xpy = (x * x + y * y).sum()
+    xpz = (x * x + z * z).sum()
+    ypz = (y * y + z * z).sum()
+    xy, xz, yz = (x * y).sum(), (x * z).sum(), (y * z).sum()
+    MM = np.array(
+        [
+            [m, 0, 0, 0, -sy, sz],
+            [0, m, 0, -sz, sx, 0],
+            [0, 0, m, sy, 0, -sx],
+            [0, -sz, sy, ypz, -xz, -xy],
+            [-sy, sx, 0, -xz, xpy, -yz],
+            [sz, 0, -sx, -xy, -yz, xpz],
+        ],
+        dtype=np.float64,
+    )
+    D = np.linalg.solve(MM, MZ)
+    rx = dx - (D[0] - y * D[4] + z * D[5])
+    ry = dy - (D[1] - z * D[3] + x * D[4])
+    rz = dz - (D[2] + y * D[3] - x * D[5])
+    ss = (rx * rx + ry * ry + rz * rz).sum() / max(2 * m - 3, 1)
+    if ss < 1e-13:
+        return np.zeros((6, 6)), np.zeros(6)
+    return MM / ss, MZ / ss
+
+
+def lum_f64(locals_, mats, links, max_dist2, iters=50, eps=1e-4):
+    """Full f64 LUM over the graph; mutates/returns pose list."""
+    from tpu3dtk.core import math3d
+
+    mats = [m.copy() for m in mats]
+    n = len(mats)
+    for _ in range(iters):
+        pts_g = [l @ M[:3, :3].T + M[:3, 3] for l, M in zip(locals_, mats)]
+        G = np.zeros((6 * (n - 1), 6 * (n - 1)))
+        B = np.zeros(6 * (n - 1))
+        for (f, t) in links:
+            C, CD = lum_link_f64(pts_g[f], pts_g[t], max_dist2)
+            a, b = f - 1, t - 1
+            if a >= 0:
+                B[a * 6 : a * 6 + 6] += CD
+                G[a * 6 : a * 6 + 6, a * 6 : a * 6 + 6] += C
+            if b >= 0:
+                B[b * 6 : b * 6 + 6] -= CD
+                G[b * 6 : b * 6 + 6, b * 6 : b * 6 + 6] += C
+            if a >= 0 and b >= 0:
+                G[a * 6 : a * 6 + 6, b * 6 : b * 6 + 6] -= C
+                G[b * 6 : b * 6 + 6, a * 6 : a * 6 + 6] -= C
+        X = np.linalg.solve(G, B).reshape(-1, 6)
+        shift = 0.0
+        for k in range(1, n):
+            theta, pos = math3d.matrix4_to_euler(mats[k], xp=np)
+            xa, ya, za = pos
+            tx, ty = theta[0], theta[1]
+            ctx, stx = np.cos(tx), np.sin(tx)
+            cty, sty = np.cos(ty), np.sin(ty)
+            Ha = np.eye(6)
+            Ha[0, 4] = -za * ctx + ya * stx
+            Ha[0, 5] = ya * cty * ctx + za * stx * cty
+            Ha[1, 3] = za
+            Ha[1, 4] = -xa * stx
+            Ha[1, 5] = -xa * ctx * cty + za * sty
+            Ha[2, 3] = -ya
+            Ha[2, 4] = xa * ctx
+            Ha[2, 5] = -xa * cty * stx - ya * sty
+            Ha[3, 5] = sty
+            Ha[4, 4] = stx
+            Ha[4, 5] = ctx * cty
+            Ha[5, 4] = ctx
+            Ha[5, 5] = -stx * cty
+            corr = np.linalg.solve(Ha, X[k - 1])
+            new_pos = pos - corr[:3]
+            new_theta = theta - corr[3:]
+            mats[k] = np.asarray(
+                math3d.euler_to_matrix4(new_pos, new_theta, xp=np)
+            )
+            shift += float(np.linalg.norm(corr[:3]))
+        if shift / n < eps:
+            break
+    return mats
+
+
+# ---------------------------------------------------------------------------
+# golden writers
+# ---------------------------------------------------------------------------
+
+
+def write_final_frames(out_dir, identifiers, mats):
+    from tpu3dtk.core import math3d
+
+    os.makedirs(out_dir, exist_ok=True)
+    for ident, M in zip(identifiers, mats):
+        cm = np.asarray(math3d.to_colmajor16(M, xp=np), np.float64)
+        with open(os.path.join(out_dir, f"scan{ident}.frames"), "w") as f:
+            f.write(" ".join(f"{v:.9g}" for v in cm) + " 2\n")
+
+
+def golden_dat():
+    from tpu3dtk.core import math3d
+    from tpu3dtk.core.scan import TPUScan
+    from tpu3dtk.io.scandir import PointFilter, read_scan_dir
+
+    dat = "/root/reference/dat"
+    scans = []
+    for raw in read_scan_dir(
+        dat, format="uos", point_filter=PointFilter(range_max=500.0)
+    ):
+        s = TPUScan.from_raw(raw)
+        s.set_reduction(10.2, 1)
+        scans.append(s)
+    reduced = [np.asarray(s.reduced_local(), np.float64) for s in scans]
+    mats = [s.transMat.copy() for s in scans]
+    # sequential metascan ICP, then LUM over the full graph (the
+    # bench.py dat workload with tight f64 convergence)
+    for i in range(1, len(scans)):
+        delta = mats[i - 1] @ np.asarray(math3d.m4inv(scans[i - 1].transMatOrg))
+        T0 = delta @ mats[i]
+        model = np.concatenate(
+            [r @ M[:3, :3].T + M[:3, 3] for r, M in zip(reduced[:i], mats[:i])]
+        )
+        mats[i] = icp_f64(model, reduced[i], T0, 625.0)
+    links = [(i, i + 1) for i in range(len(scans) - 1)] + [(0, len(scans) - 1)]
+    mats = lum_f64(reduced, mats, links, 625.0, iters=50, eps=1e-5)
+    write_final_frames(
+        os.path.join(GOLDEN, "dat"), [s.identifier for s in scans], mats
+    )
+    print("golden dat written:", [np.round(m[:3, 3], 2) for m in mats])
+
+
+def synth_loop(n_scans=60, seed=7):
+    """Deterministic synthetic loop: a room-scape sampled from poses on
+    a closed circuit, odometry poses perturbed with drift-like noise.
+    Returns (locals, true_mats, odo_mats)."""
+    from tpu3dtk.core import math3d
+
+    rng = np.random.default_rng(seed)
+    # environment: walls of a big hall + pillars (well-constrained)
+    walls = []
+    size = 4000.0
+    n_face = 9000
+    for axis in range(3):
+        for side in (0.0, size):
+            p = rng.uniform(0, size, (n_face, 3))
+            p[:, axis] = side
+            walls.append(p)
+    for _ in range(14):  # pillars
+        c = rng.uniform(500, size - 500, 2)
+        ang = rng.uniform(0, 2 * np.pi, 800)
+        r = 60.0
+        pts = np.stack(
+            [c[0] + r * np.cos(ang), rng.uniform(0, size, 800), c[1] + r * np.sin(ang)],
+            axis=1,
+        )
+        walls.append(pts)
+    env = np.concatenate(walls)
+
+    true_mats, odo_mats, locals_ = [], [], []
+    drift = np.zeros(3)
+    for k in range(n_scans):
+        ang = 2 * np.pi * k / n_scans
+        center = np.array(
+            [size / 2 + 1200 * np.cos(ang), size / 2, size / 2 + 1200 * np.sin(ang)]
+        )
+        theta = np.array([0.0, -ang, 0.0])
+        T = np.asarray(math3d.euler_to_matrix4(center, theta, xp=np))
+        true_mats.append(T)
+        # simulated scan: environment points within range, in local frame
+        d2 = ((env - center) ** 2).sum(1)
+        vis = env[d2 < 1500.0**2]
+        vis = vis[rng.permutation(len(vis))[:6000]]
+        Ti = np.linalg.inv(T)
+        local = vis @ Ti[:3, :3].T + Ti[:3, 3]
+        local += rng.normal(0, 1.0, local.shape)  # 1 cm sensor noise
+        locals_.append(local.astype(np.float32))
+        # odometry: true pose + accumulating drift
+        drift += rng.normal(0, 6.0, 3)
+        To = T.copy()
+        To[:3, 3] += drift
+        odo_mats.append(To)
+    return locals_, true_mats, odo_mats
+
+
+def golden_loop60():
+    locals_, true_mats, odo_mats = synth_loop()
+    idents = [f"{k:03d}" for k in range(len(true_mats))]
+    write_final_frames(os.path.join(GOLDEN, "loop60"), idents, true_mats)
+    print("golden loop60 written (exact ground truth)")
+
+
+if __name__ == "__main__":
+    golden_dat()
+    golden_loop60()

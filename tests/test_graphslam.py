@@ -126,3 +126,83 @@ def test_read_net_graph(tmp_path):
     bad.write_text("2\n1\n0 5\n")
     with pytest.raises(ValueError):
         gs.read_net_graph(str(bad))
+
+
+def test_link_covariances_grid_matches_brute(rng):
+    """Hashed-cell-list LUM covariances equal the brute path."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tests.conftest import make_room_cloud
+    from tpu3dtk.models import graphslam as gs
+    from tpu3dtk.ops import nn as nn_ops
+
+    S, N = 4, 2400
+    pts = np.zeros((S, N, 3), np.float32)
+    masks = np.zeros((S, N), bool)
+    for i in range(S):
+        c = make_room_cloud(rng, n=N, size=700.0)
+        c += np.array([i * 5.0, 0, 0])
+        n = N - i * 100  # ragged
+        pts[i, :n] = c[:n]
+        masks[i, :n] = True
+    links = np.array([[0, 1], [1, 2], [2, 3], [0, 3]], np.int32)
+    md2 = jnp.float32(2500.0)
+    # f64 oracle: exact NN pairs per link via scipy cKDTree
+    from scipy.spatial import cKDTree
+
+    H = cap = 0
+    for i in range(S):
+        Hs, bc = nn_ops.cell_hash_spec(pts[i][masks[i]], masks[i][masks[i]], 50.0)
+        H, cap = max(H, Hs), max(cap, bc)
+    C1, CD1, m1, overflow = gs.link_covariances_grid(
+        jnp.asarray(pts), jnp.asarray(masks), jnp.asarray(links), md2,
+        n_buckets=H, bucket_cap=cap,
+    )
+    assert not bool(overflow)
+    # grid NN idx/found equal the exact oracle on every link
+    grids = None
+    for (i, j) in links:
+        mi, mj = masks[i], masks[j]
+        tree = cKDTree(pts[i][mi].astype(np.float64))
+        d, k = tree.query(pts[j].astype(np.float64))
+        found0 = mj & (d**2 < 2500.0)
+        origin = pts[i][mi].min(axis=0)
+        g = nn_ops.build_cell_hash(
+            jnp.asarray(pts[i]), jnp.asarray(mi), jnp.asarray(origin),
+            jnp.float32(50.0), H,
+        )
+        idx1, d21, found1 = nn_ops.nn_cell_hash(
+            jnp.asarray(pts[j]), jnp.asarray(mj), g, md2, cap
+        )
+        idx1, found1 = np.asarray(idx1), np.asarray(found1)
+        assert (found1 == found0).all()
+        # map oracle index (within masked subset) back to padded index
+        midx = np.flatnonzero(mi)
+        sel = found0
+        assert (idx1[sel] == midx[np.clip(k, 0, len(midx) - 1)][sel]).all()
+    # pair counts match the oracle
+    m_oracle = []
+    for (i, j) in links:
+        tree = cKDTree(pts[i][masks[i]].astype(np.float64))
+        d, k = tree.query(pts[j][masks[j]].astype(np.float64))
+        m_oracle.append((d**2 < 2500.0).sum())
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m_oracle))
+
+
+def test_link_covariances_grid_overflow_flag(rng):
+    """A pathological cluster overflows bucket_cap and raises the flag."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpu3dtk.models import graphslam as gs
+
+    S, N = 2, 1000
+    pts = np.asarray(rng.normal(0, 0.5, (S, N, 3)), np.float32)  # one cell
+    masks = np.ones((S, N), bool)
+    links = np.array([[0, 1]], np.int32)
+    _, _, _, overflow = gs.link_covariances_grid(
+        jnp.asarray(pts), jnp.asarray(masks), jnp.asarray(links),
+        jnp.float32(2500.0), n_buckets=1024, bucket_cap=8,
+    )
+    assert bool(overflow)

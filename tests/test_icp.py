@@ -83,3 +83,42 @@ def test_icp_step_reduces_error(rng):
     T1, err1, n1 = icp.icp_step(model, mmask, model, mmask, jnp.asarray(T_pert), 2500.0)
     T2, err2, n2 = icp.icp_step(model, mmask, model, mmask, T1, 2500.0)
     assert float(err2) < float(err1)
+
+
+def test_icp_pair_grid_matches_brute(rng):
+    """The hashed-cell-list hot loop registers to the same pose as the
+    brute-force path (the reference's kd-tree vs CUDA-grid duality,
+    src/cuda/grid_kernel.cu:314-420)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tests.conftest import make_room_cloud
+    from tpu3dtk.core import math3d
+    from tpu3dtk.models import icp as icp_mod
+    from tpu3dtk.ops import nn as nn_ops
+
+    model = make_room_cloud(rng, n=9000, size=900.0).astype(np.float32)
+    Tt = np.asarray(
+        math3d.euler_to_matrix4(
+            np.array([6.0, -4.0, 2.0]), np.array([0.015, -0.02, 0.01])
+        )
+    )
+    Ti = np.asarray(math3d.m4inv(Tt))
+    target = ((Ti[:3, :3] @ model.T).T + Ti[:3, 3]).astype(np.float32)
+    mm = np.ones(len(model), bool)
+    tm = np.ones(len(target), bool)
+    H, cap = nn_ops.cell_hash_spec(model, mm, 25.0)
+    common = dict(max_dist_match2=625.0, epsilon=1e-7, max_iterations=50)
+    a = jnp.asarray
+    rb = icp_mod.icp_pair(
+        a(model), a(mm), a(target), a(tm), jnp.eye(4, dtype=jnp.float32),
+        **common,
+    )
+    rg = icp_mod.icp_pair(
+        a(model), a(mm), a(target), a(tm), jnp.eye(4, dtype=jnp.float32),
+        grid_buckets=H, grid_bucket_cap=cap, **common,
+    )
+    Tb, Tg = np.asarray(rb.T), np.asarray(rg.T)
+    assert np.abs(Tb - Tt).max() < 5e-3
+    assert np.abs(Tg - Tt).max() < 5e-3
+    np.testing.assert_allclose(Tg, Tb, atol=1e-3)

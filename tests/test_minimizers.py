@@ -106,3 +106,85 @@ def test_error_is_rms(rng):
     stats = mz.pair_stats(jnp.asarray(m), jnp.asarray(d_noisy), jnp.ones(100, jnp.float32))
     _, err = mz.align_quat(stats)
     np.testing.assert_allclose(float(err), np.sqrt(3.0), rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Round 2: real ortho / lumquat / napx (previously aliased)
+# ---------------------------------------------------------------------------
+
+
+def _make_pairs_r2(rng, n=400, theta=(0.05, -0.08, 0.03), pos=(2.0, -1.5, 0.7)):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpu3dtk.core import math3d
+    from tpu3dtk.models import minimizers as mz
+
+    d = rng.uniform(-100, 100, (n, 3)).astype(np.float32)
+    Tt = np.asarray(math3d.euler_to_matrix4(np.asarray(pos), np.asarray(theta)))
+    m = (Tt[:3, :3] @ d.T).T + Tt[:3, 3]
+    stats = mz.pair_stats(jnp.asarray(m), jnp.asarray(d), jnp.ones(n))
+    return Tt, m, d, stats
+
+
+def test_ortho_recovers_exact(rng):
+    import numpy as np
+
+    from tpu3dtk.models import minimizers as mz
+
+    Tt, m, d, stats = _make_pairs_r2(rng)
+    T, err = mz.align_ortho(stats)
+    np.testing.assert_allclose(np.asarray(T), Tt, atol=5e-6)
+    # distinct implementation from SVD, same optimum
+    Tsvd, _ = mz.align_svd(stats)
+    np.testing.assert_allclose(np.asarray(T), np.asarray(Tsvd), atol=5e-6)
+    assert mz.MINIMIZERS["ortho"] is mz.align_ortho
+
+
+def test_lumquat_first_order(rng):
+    """7-dof quaternion linearization: first-order accurate for small
+    motion and converges when iterated (as in ICP)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpu3dtk.core import math3d
+    from tpu3dtk.models import minimizers as mz
+
+    Tt, m, d, stats = _make_pairs_r2(rng)
+    T, err = mz.align_lumquat(stats, jnp.eye(4))
+    assert np.abs(np.asarray(T) - Tt).max() < 0.08
+    assert mz.MINIMIZERS["lumquat"] is mz.align_lumquat
+    # iterate: apply, re-pair, solve again -> converges
+    Tc = np.asarray(T, np.float64)
+    for _ in range(12):
+        dd = (Tc[:3, :3] @ np.asarray(d, np.float64).T).T + Tc[:3, 3]
+        stats_i = mz.pair_stats(
+            jnp.asarray(m), jnp.asarray(dd.astype(np.float32)), jnp.ones(len(m))
+        )
+        Ti, _ = mz.align_lumquat(stats_i, jnp.asarray(Tc.astype(np.float32)))
+        Tc = np.asarray(Ti, np.float64) @ Tc
+    assert np.abs(Tc - Tt).max() < 2e-3
+
+
+def test_napx_point_to_plane(rng):
+    """napx solves the linearized point-to-plane system; with normals it
+    converges to the true pose when iterated."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpu3dtk.models import minimizers as mz
+
+    Tt, m, d, _ = _make_pairs_r2(rng, theta=(0.02, -0.015, 0.01), pos=(1.0, 0.5, -0.8))
+    nrm = rng.normal(size=(len(m), 3))
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    Tc = np.eye(4)
+    for _ in range(15):
+        dd = (Tc[:3, :3] @ d.astype(np.float64).T).T + Tc[:3, 3]
+        ns = mz.napx_stats(
+            jnp.asarray(m), jnp.asarray(dd.astype(np.float32)),
+            jnp.asarray(nrm.astype(np.float32)), jnp.ones(len(m)),
+        )
+        Ti, _ = mz.align_napx(ns)
+        Tc = np.asarray(Ti, np.float64) @ Tc
+    assert np.abs(Tc - Tt).max() < 5e-3
+    assert mz.MINIMIZERS["napx"] is mz.align_napx

@@ -98,3 +98,103 @@ def test_grid_nn_matches_brute(rng):
     np.testing.assert_allclose(np.asarray(d2)[rfound], rd2[rfound], rtol=1e-4, atol=1e-2)
     # matched model point identical
     np.testing.assert_array_equal(np.asarray(idx)[rfound], ridx[rfound])
+
+
+# ---------------------------------------------------------------------------
+# Hashed cell list (production NN for the hot loops)
+# ---------------------------------------------------------------------------
+
+
+def _cell_hash_setup(model, mmask, query, qmask, max_dist):
+    import jax.numpy as jnp
+
+    from tpu3dtk.ops import nn as nn_ops
+
+    H, cap = nn_ops.cell_hash_spec(model, mmask, max_dist)
+    origin = model[mmask].min(axis=0)
+    grid = nn_ops.build_cell_hash(
+        jnp.asarray(model), jnp.asarray(mmask), jnp.asarray(origin),
+        jnp.float32(max_dist), H,
+    )
+    return nn_ops.nn_cell_hash(
+        jnp.asarray(query), jnp.asarray(qmask), grid,
+        jnp.float32(max_dist**2), cap,
+    )
+
+
+def test_cell_hash_matches_brute_adversarial(rng):
+    """Exactness vs brute at adversarial density: a tight Gaussian
+    cluster (hundreds of points per cell), uniform background, masked
+    points, and queries far outside the model bbox."""
+    import numpy as np
+
+    from tpu3dtk.ops import nn as nn_ops
+
+    model = np.concatenate(
+        [
+            rng.uniform(-500, 500, (2000, 3)),
+            rng.normal(0, 2.0, (1500, 3)),  # dense cluster
+            rng.uniform(-500, 500, (500, 3)),
+        ]
+    ).astype(np.float32)
+    mmask = rng.random(len(model)) > 0.15
+    query = np.concatenate(
+        [
+            rng.uniform(-700, 700, (1000, 3)),  # incl. outside bbox
+            rng.normal(0, 3.0, (1000, 3)),
+        ]
+    ).astype(np.float32)
+    qmask = rng.random(len(query)) > 0.05
+    import jax.numpy as jnp
+
+    i1, d1, f1 = map(np.asarray, _cell_hash_setup(model, mmask, query, qmask, 25.0))
+    i0, d0, f0 = map(
+        np.asarray,
+        nn_ops.nn_brute(
+            jnp.asarray(query), jnp.asarray(qmask), jnp.asarray(model),
+            jnp.asarray(mmask), jnp.float32(625.0),
+        ),
+    )
+    assert (f1 == f0).all()
+    assert f0.sum() > 100  # non-trivial workload
+    np.testing.assert_allclose(d1[f0], d0[f0], rtol=1e-5)
+    assert (i1[f0] == i0[f0]).all()
+
+
+def test_cell_hash_strict_boundary(rng):
+    """Matches exactly AT max_dist are rejected (strict <), the kd-tree
+    boundary semantics of ref testing/kdtree/kdtree.cc:20-27."""
+    import numpy as np
+
+    model = np.array([[10.0, 0.0, 0.0], [200.0, 0.0, 0.0]], np.float32)
+    query = np.array([[0.0, 0.0, 0.0]], np.float32)
+    # max_dist exactly 10: d2 == max_dist2 -> rejected
+    i, d, f = _cell_hash_setup(
+        model, np.ones(2, bool), query, np.ones(1, bool), 10.0
+    )
+    assert not bool(np.asarray(f)[0])
+    # slightly larger: accepted
+    i, d, f = _cell_hash_setup(
+        model, np.ones(2, bool), query, np.ones(1, bool), 10.001
+    )
+    assert bool(np.asarray(f)[0])
+    assert int(np.asarray(i)[0]) == 0
+
+
+def test_cell_hash_occupancy_check(rng):
+    """Device-side max-occupancy matches the host spec sizing."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpu3dtk.ops import nn as nn_ops
+
+    pts = rng.normal(0, 1.5, (3000, 3)).astype(np.float32)
+    mask = np.ones(3000, bool)
+    H, cap = nn_ops.cell_hash_spec(pts, mask, 25.0)
+    grid = nn_ops.build_cell_hash(
+        jnp.asarray(pts), jnp.asarray(mask),
+        jnp.asarray(pts.min(axis=0)), jnp.float32(25.0), H,
+    )
+    occ = int(nn_ops.cell_hash_max_occupancy(grid))
+    assert occ <= cap
+    assert cap < occ + 16  # spec is tight (rounded to multiple of 8)

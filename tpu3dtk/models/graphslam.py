@@ -42,6 +42,7 @@ from ..ops import nn as nn_ops
 __all__ = [
     "build_proximity_graph",
     "link_covariances",
+    "link_covariances_grid",
     "assemble_GB",
     "lum_pose_corrections",
     "LumParams",
@@ -72,26 +73,34 @@ def build_proximity_graph(
     distance² < cldist2 (ref Graph::Graph(int,double,int),
     src/slam6d/graph.cc:108-130).  positions: [S,3].  Returns [L,2] int."""
     S = len(positions)
-    links = [(i, i + 1) for i in range(S - 1)]
-    d2 = (
-        ((positions[:, None, :] - positions[None, :, :]) ** 2).sum(-1)
-        if S > 1
-        else np.zeros((S, S))
-    )
-    for j in range(S):
-        for k in range(j + 1, S):
-            if (k - j) > loopsize and d2[j, k] < cldist2:
-                links.append((j, k))
-    return np.asarray(links, dtype=np.int32)
+    chain = np.stack(
+        [np.arange(S - 1), np.arange(1, S)], axis=1
+    ) if S > 1 else np.zeros((0, 2), np.int64)
+    d2 = ((positions[:, None, :] - positions[None, :, :]) ** 2).sum(-1)
+    jj, kk = np.triu_indices(S, k=1)
+    sel = ((kk - jj) > loopsize) & (d2[jj, kk] < cldist2)
+    extra = np.stack([jj[sel], kk[sel]], axis=1)
+    return np.concatenate([chain, extra]).astype(np.int32)
 
 
-def _one_link_stats(model_g, mmask, tgt_g, tmask, max_dist2):
+def _one_link_stats(
+    model_g, mmask, tgt_g, tmask, max_dist2, grid=None
+):
     """C (6,6), CD (6,) for one link from global-frame padded points.
 
     model_g = scan i (p1/a), tgt_g = scan j (p2/b): pairs are NN of j's
     points among i's points (Scan::getPtPairs convention, the link order
-    used in FillGB3D)."""
-    idx, d2, found = nn_ops.nn_brute(tgt_g, tmask, model_g, mmask, max_dist2)
+    used in FillGB3D).  ``grid``: optional (CellHash, bucket_cap) for
+    the sublinear hashed cell-list search."""
+    if grid is not None:
+        ghash, bucket_cap = grid
+        idx, d2, found = nn_ops.nn_cell_hash(
+            tgt_g, tmask, ghash, max_dist2, bucket_cap
+        )
+    else:
+        idx, d2, found = nn_ops.nn_brute(
+            tgt_g, tmask, model_g, mmask, max_dist2
+        )
     a = model_g[idx]
     b = tgt_g
     w = found.astype(jnp.float32)
@@ -167,26 +176,80 @@ def link_covariances(
     return jax.lax.map(one, links, batch_size=chunk)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("chunk", "n_buckets", "bucket_cap")
+)
+def link_covariances_grid(
+    points_g,
+    masks,
+    links,
+    max_dist2,
+    n_buckets: int,
+    bucket_cap: int,
+    chunk: int = 4,
+):
+    """Batched (C, CD) for all links through per-scan hashed cell lists
+    (the sublinear replacement for the per-link brute NN — the
+    reference walks a kd-tree per link inside an OpenMP loop,
+    lum6Deuler.cc:270-301; here every scan is hashed once per outer
+    LUM iteration and all links query in O(Q·27·cap)).
+
+    Returns (C [L,6,6], CD [L,6], m [L], overflow bool).  ``overflow``
+    is True when some bucket exceeded bucket_cap — the caller must then
+    redo this iteration with :func:`link_covariances` (exactness
+    guard; see ops.nn.cell_hash_spec)."""
+    cell = jnp.sqrt(max_dist2.astype(jnp.float32))
+    inf3 = jnp.full((3,), jnp.float32(jnp.inf))
+
+    def build_one(pts, msk):
+        origin = jnp.min(jnp.where(msk[:, None], pts, inf3), axis=0)
+        origin = jnp.where(jnp.isfinite(origin), origin, 0.0)
+        return nn_ops.build_cell_hash(pts, msk, origin, cell, n_buckets)
+
+    grids = jax.vmap(build_one)(points_g, masks)
+    occ = grids.bucket_start[:, 1:] - grids.bucket_start[:, :-1]
+    overflow = jnp.max(occ) > bucket_cap
+
+    def one(link):
+        i, j = link[0], link[1]
+        g = nn_ops.CellHash(
+            points=grids.points[i],
+            src_idx=grids.src_idx[i],
+            bucket_start=grids.bucket_start[i],
+            origin=grids.origin[i],
+            cell=grids.cell[i],
+        )
+        return _one_link_stats(
+            points_g[i], masks[i], points_g[j], masks[j], max_dist2,
+            grid=(g, bucket_cap),
+        )
+
+    C, CD, m = jax.lax.map(one, links, batch_size=chunk)
+    return C, CD, m, overflow
+
+
 def assemble_GB(links: np.ndarray, C: np.ndarray, CD: np.ndarray, n_scans: int):
     """Dense G (6n x 6n), B (6n) with scan 0 fixed (FillGB3D,
     lum6Deuler.cc:265-303).  f64 host assembly (tiny)."""
     n = n_scans - 1
-    G = np.zeros((6 * n, 6 * n))
-    B = np.zeros(6 * n)
     C = np.asarray(C, np.float64)
     CD = np.asarray(CD, np.float64)
-    for (li, (f, t)) in enumerate(np.asarray(links)):
-        a, b = int(f) - 1, int(t) - 1
-        if a >= 0:
-            B[a * 6 : a * 6 + 6] += CD[li]
-            G[a * 6 : a * 6 + 6, a * 6 : a * 6 + 6] += C[li]
-        if b >= 0:
-            B[b * 6 : b * 6 + 6] -= CD[li]
-            G[b * 6 : b * 6 + 6, b * 6 : b * 6 + 6] += C[li]
-        if a >= 0 and b >= 0:
-            G[a * 6 : a * 6 + 6, b * 6 : b * 6 + 6] -= C[li]
-            G[b * 6 : b * 6 + 6, a * 6 : a * 6 + 6] -= C[li]
-    return G, B
+    lk = np.asarray(links, np.int64)
+    a = lk[:, 0] - 1
+    b = lk[:, 1] - 1
+    # block form [n,n,6,6] scattered with np.add.at, then reshaped
+    Gb = np.zeros((n, n, 6, 6))
+    Bb = np.zeros((n, 6))
+    sa, sb = a >= 0, b >= 0
+    np.add.at(Bb, a[sa], CD[sa])
+    np.add.at(Bb, b[sb], -CD[sb])
+    np.add.at(Gb, (a[sa], a[sa]), C[sa])
+    np.add.at(Gb, (b[sb], b[sb]), C[sb])
+    both = sa & sb
+    np.add.at(Gb, (a[both], b[both]), -C[both])
+    np.add.at(Gb, (b[both], a[both]), -C[both])
+    G = Gb.transpose(0, 2, 1, 3).reshape(6 * n, 6 * n)
+    return G, Bb.reshape(6 * n)
 
 
 def lum_pose_corrections(poses_pos, poses_theta, X):
@@ -224,6 +287,37 @@ class LumParams:
     epsilon: float = 0.5  # --epsSLAM (mean position shift, cm)
     pad_multiple: int = 512
     link_chunk: int = 4
+    # NN engine: "auto" = hashed cell list for large scans, brute
+    # otherwise (mirrors SequenceRegistration.nns)
+    nns: str = "auto"
+    grid_min_points: int = 4096
+    grid_max_cap: int = 768
+    # solver: dense f64 Cholesky below this many scans, block-Jacobi CG
+    # (pgsolve.solve_block_cg, O(L) memory) above
+    dense_solver_max_scans: int = 65
+
+
+def _solve_GX_B(
+    scans_n: int, links: np.ndarray, C: np.ndarray, CD: np.ndarray,
+    dense_max: int,
+) -> np.ndarray:
+    """Solve the LUM system; dense f64 for small n, block-CG above."""
+    n = scans_n - 1
+    if scans_n <= dense_max:
+        G, B = assemble_GB(links, C, CD, scans_n)
+        try:
+            return np.linalg.solve(G, B).reshape(-1, 6)
+        except np.linalg.LinAlgError:
+            return np.linalg.lstsq(G, B, rcond=None)[0].reshape(-1, 6)
+    from . import pgsolve
+
+    lk = np.asarray(links, np.int64)
+    B = np.zeros((n, 6))
+    a, b = lk[:, 0] - 1, lk[:, 1] - 1
+    CD64 = np.asarray(CD, np.float64)
+    np.add.at(B, a[a >= 0], CD64[a >= 0])
+    np.add.at(B, b[b >= 0], -CD64[b >= 0])
+    return pgsolve.solve_block_cg(links, C, B, n)
 
 
 def do_graph_slam(
@@ -246,22 +340,54 @@ def do_graph_slam(
     masks_j = jnp.asarray(masks)
     links_j = jnp.asarray(links, jnp.int32)
 
+    # hashed-cell-list sizing (host): occupancy is density-driven and
+    # rigid transforms preserve density, so one spec (with headroom)
+    # serves all iterations; the device overflow flag guards exactness.
+    grid_buckets = grid_cap = 0
+    use_grid = params.nns == "grid" or (
+        params.nns == "auto" and cap >= params.grid_min_points
+    )
+    if use_grid:
+        max_dist = float(np.sqrt(params.max_dist_match2))
+        caps = []
+        H = 0
+        for si, s in enumerate(scans):
+            g = np.asarray(math3d.transform3(s.transMat, s.reduced_local()))
+            Hs, bc = nn_ops.cell_hash_spec(g, np.ones(len(g), bool), max_dist)
+            H = max(H, Hs)
+            caps.append(bc)
+        bcap = ((int(max(caps) * 1.5) + 7) // 8) * 8
+        if bcap <= params.grid_max_cap:
+            grid_buckets, grid_cap = H, bcap
+
     ret = np.inf
     it = 0
     while it < params.iterations and ret > params.epsilon:
         mats = np.stack([s.transMat for s in scans]).astype(np.float32)
         points_g = jax.vmap(math3d.transform3)(jnp.asarray(mats), locals_j)
-        C, CD, m = link_covariances(
-            points_g, masks_j, links_j,
-            jnp.float32(params.max_dist_match2),
-            chunk=params.link_chunk,
+        if grid_buckets:
+            C, CD, m, overflow = link_covariances_grid(
+                points_g, masks_j, links_j,
+                jnp.float32(params.max_dist_match2),
+                n_buckets=grid_buckets, bucket_cap=grid_cap,
+                chunk=params.link_chunk,
+            )
+            if bool(overflow):  # exactness guard: redo with brute
+                C, CD, m = link_covariances(
+                    points_g, masks_j, links_j,
+                    jnp.float32(params.max_dist_match2),
+                    chunk=params.link_chunk,
+                )
+        else:
+            C, CD, m = link_covariances(
+                points_g, masks_j, links_j,
+                jnp.float32(params.max_dist_match2),
+                chunk=params.link_chunk,
+            )
+        X = _solve_GX_B(
+            len(scans), links, np.asarray(C), np.asarray(CD),
+            params.dense_solver_max_scans,
         )
-        G, B = assemble_GB(links, np.asarray(C), np.asarray(CD), len(scans))
-        try:
-            X = np.linalg.solve(G, B)
-        except np.linalg.LinAlgError:
-            X = np.linalg.lstsq(G, B, rcond=None)[0]
-        X = X.reshape(-1, 6)
         pos = np.stack([s.rPos for s in scans[1:]])
         theta = np.stack([s.rPosTheta for s in scans[1:]])
         result = np.asarray(

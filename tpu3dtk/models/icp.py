@@ -54,21 +54,32 @@ class IcpResult(NamedTuple):
     n_pairs: jnp.ndarray  # pairs in last iteration
 
 
-def _pair_statistics(
+def _find_pairs(
     model, mmask, tgt_global, tmask, max_dist2, pairing="closest_point",
-    tgt_normals=None,
+    tgt_normals=None, grid=None,
 ):
-    """Correspondence search + sufficient statistics for one iteration.
+    """Correspondence search for one iteration: returns matched model
+    points [N,3] (projected per pairing mode) and the accept mask [N].
 
     Pairing semantics follow SearchTree::getPtPairs
     (searchTree.cc:126-163): for "closest_plane" the matched model point
     is projected onto the plane through the target point with the
     *target's* normal (s' = (n·(s−t))n + t); for "along_normal" the NN
     metric is perpendicular distance to the target's normal ray.
+
+    When ``grid`` (a prebuilt :class:`ops.nn.CellHash`) is given, the
+    closest-point search runs through the sublinear hashed cell-list
+    kernel instead of brute force (the reference's kd-tree role,
+    include/slam6d/kdTreeImpl.h:345).
     """
     if pairing == "along_normal":
         idx, d2, found = nn_ops.nn_brute_line(
             tgt_global, tgt_normals, tmask, model, mmask, max_dist2
+        )
+    elif grid is not None:
+        ghash, bucket_cap = grid
+        idx, d2, found = nn_ops.nn_cell_hash(
+            tgt_global, tmask, ghash, max_dist2, bucket_cap
         )
     else:
         idx, d2, found = nn_ops.nn_brute(
@@ -78,13 +89,30 @@ def _pair_statistics(
     if pairing == "closest_plane":
         dot = jnp.sum(tgt_normals * (m_pts - tgt_global), axis=1, keepdims=True)
         m_pts = tgt_global + dot * tgt_normals
-    w = found
-    return mz.pair_stats(m_pts, tgt_global, w)
+    return m_pts, found
+
+
+def _pair_statistics(
+    model, mmask, tgt_global, tmask, max_dist2, pairing="closest_point",
+    tgt_normals=None, grid=None,
+):
+    m_pts, found = _find_pairs(
+        model, mmask, tgt_global, tmask, max_dist2,
+        pairing=pairing, tgt_normals=tgt_normals, grid=grid,
+    )
+    return mz.pair_stats(m_pts, tgt_global, found)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_iterations", "minimizer", "subsample", "pairing"),
+    static_argnames=(
+        "max_iterations",
+        "minimizer",
+        "subsample",
+        "pairing",
+        "grid_buckets",
+        "grid_bucket_cap",
+    ),
 )
 def icp_pair(
     model,
@@ -101,6 +129,8 @@ def icp_pair(
     seed: int = 0,
     pairing: str = "closest_point",
     target_normals_local=None,
+    grid_buckets: int = 0,
+    grid_bucket_cap: int = 0,
 ) -> IcpResult:
     """Match one target scan against fixed model points.
 
@@ -112,13 +142,36 @@ def icp_pair(
     subsample = the reference's ``rnd`` (-R): each iteration uses a
     fresh ~1/subsample random subset of target points
     (searchTree.cc:54-55 ``rand(rnd) != 0 -> skip``).
+
+    grid_buckets/grid_bucket_cap > 0 routes the closest-point search
+    through the hashed cell list (ops.nn.nn_cell_hash): the model is
+    fixed across iterations, so the hash is built ONCE per match and
+    every ``lax.while_loop`` iteration pays O(Q·27·cap) instead of
+    O(Q·M) — the role the kd-tree build plays in the reference
+    (BasicScan::createSearchTreePrivate, basicScan.cc:702-728).  Size
+    the statics with ops.nn.cell_hash_spec on the host.
     """
     model = model.astype(jnp.float32)
     target_local = target_local.astype(jnp.float32)
     T0 = T0.astype(jnp.float32)
+    if minimizer == "napx" and target_normals_local is None:
+        raise ValueError("napx minimizer requires target normals")
     align_fn = mz.MINIMIZERS[minimizer]
     eps = jnp.float32(epsilon)
     key0 = jax.random.PRNGKey(seed)
+    need_normals = pairing != "closest_point" or minimizer == "napx"
+
+    if grid_buckets > 0 and pairing != "along_normal":
+        inf3 = jnp.full((3,), jnp.float32(jnp.inf))
+        origin = jnp.min(jnp.where(mmask[:, None], model, inf3), axis=0)
+        origin = jnp.where(jnp.isfinite(origin), origin, 0.0)
+        cell = jnp.sqrt(jnp.float32(max_dist_match2))
+        grid = (
+            nn_ops.build_cell_hash(model, mmask, origin, cell, grid_buckets),
+            grid_bucket_cap,
+        )
+    else:
+        grid = None
 
     def cond(carry):
         T, ret, prev, prev2, it, done, npairs = carry
@@ -135,22 +188,35 @@ def icp_pair(
         else:
             it_mask = tmask
         tgt_global = math3d.transform3(T, target_local).astype(jnp.float32)
-        if pairing != "closest_point":
+        if need_normals:
             normals_g = math3d.transform3normal(
                 T, target_normals_local
             ).astype(jnp.float32)
         else:
             normals_g = None
-        stats = _pair_statistics(
-            model, mmask, tgt_global, it_mask, jnp.float32(max_dist_match2),
-            pairing=pairing, tgt_normals=normals_g,
-        )
-        enough = stats.n > 3
-        if minimizer in ("lumeuler", "lumquat"):
-            # ref icp6D.cc:242-245: algo 7/8 receive the current pose
-            align, err = align_fn(stats, T)
+        if minimizer == "napx":
+            m_pts, found = _find_pairs(
+                model, mmask, tgt_global, it_mask,
+                jnp.float32(max_dist_match2),
+                pairing=pairing, tgt_normals=normals_g, grid=grid,
+            )
+            nstats = mz.napx_stats(m_pts, tgt_global, normals_g, found)
+            enough = nstats.n > 3
+            align, err = align_fn(nstats)
+            npairs = nstats.n
         else:
-            align, err = align_fn(stats)
+            stats = _pair_statistics(
+                model, mmask, tgt_global, it_mask,
+                jnp.float32(max_dist_match2),
+                pairing=pairing, tgt_normals=normals_g, grid=grid,
+            )
+            enough = stats.n > 3
+            if minimizer in ("lumeuler", "lumquat"):
+                # ref icp6D.cc:242-245: algo 7/8 receive the current pose
+                align, err = align_fn(stats, T)
+            else:
+                align, err = align_fn(stats)
+            npairs = stats.n
         align = jnp.where(enough, align, jnp.eye(4, dtype=jnp.float32))
         T_new = align @ T
         prev2_new = prev
@@ -160,7 +226,7 @@ def icp_pair(
             jnp.abs(ret_new - prev2_new) < eps
         )
         done_new = conv | ~enough
-        return (T_new, ret_new, prev_new, prev2_new, it + 1, done_new, stats.n)
+        return (T_new, ret_new, prev_new, prev2_new, it + 1, done_new, npairs)
 
     init = (
         T0,

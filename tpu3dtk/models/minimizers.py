@@ -13,13 +13,19 @@ matching the reference's parallel-ICP reduction (icp6D.cc:144-191,
 per-thread partials become per-device partials combined with psum.  All
 functions are pure, jit- and vmap-friendly, shape (…,3,3) batched.
 
-Registered minimizers (reference algo ids):
-  1 QUAT  Horn unit quaternion, max eigenvector of 4x4 Q (icp6Dquat.cc:38-145)
-  2 SVD   Arun SVD of cross-covariance (icp6Dsvd.cc:39-160)
-  3 ORTHO Horn orthonormal matrices — same optimum as SVD; implemented
-          via the SVD route (icp6Dortho.cc)
-  6 APX   small-angle linearization (icp6Dapx.cc)
-  9 DUAL / 7 HELIX: TODO round 2 (each a small batched closed form)
+Registered minimizers (reference algo ids) — all ten ids run distinct,
+reference-matching math:
+  1 QUAT   Horn unit quaternion, max eigenvector of 4x4 Q (icp6Dquat.cc:38-145)
+  2 SVD    Arun SVD of cross-covariance (icp6Dsvd.cc:39-160)
+  3 ORTHO  Horn orthonormal matrices, polar factor H(H^T H)^-1/2 via the
+           eigendecomposition of H^T H (icp6Dortho.cc:85-135)
+  4 DUAL   Walker dual quaternions (icp6Ddual.cc)
+  5 HELIX  Hofer/Pottmann helical motion (icp6Dhelix.cc)
+  6 APX    small-angle linearization (icp6Dapx.cc)
+  7 LUMEULER / 8 LUMQUAT  Lu/Milios single-pair linearizations in Euler /
+           quaternion parametrization (icp6Dlumeuler.cc, icp6Dlumquat.cc)
+  9 QUATSCALE  Horn quaternion + scale (icp6Dquatscale.cc)
+ 10 NAPX   point-to-plane small-angle normal equations (icp6Dnapx.cc)
 
 Returned alignment T satisfies  m ≈ T·d  and is applied on the left of
 the current pose (ref Scan::transformMatrix, scan.cc:878-898).
@@ -35,9 +41,19 @@ from ..core import math3d
 __all__ = [
     "PairStats",
     "pair_stats",
+    "merge_stats",
+    "NapxStats",
+    "napx_stats",
     "align_quat",
     "align_svd",
+    "align_ortho",
+    "align_dual",
+    "align_helix",
     "align_apx",
+    "align_lumeuler",
+    "align_lumquat",
+    "align_quat_scale",
+    "align_napx",
     "MINIMIZERS",
 ]
 
@@ -197,6 +213,22 @@ def align_svd(stats: PairStats):
     D = jnp.diag(jnp.array([1.0, 1.0, 1.0], dtype=H.dtype))
     D = D.at[2, 2].set(jnp.sign(det))
     R = V @ D @ U.T
+    return _finish(R, stats)
+
+
+def align_ortho(stats: PairStats):
+    """Horn's orthonormal-matrix method (ref icp6Dortho.cc:85-135): with
+    H = Σ m̃ d̃ᵀ, the rotation is the polar factor R = H (HᵀH)^(-1/2),
+    computed — as the reference does — through the eigendecomposition of
+    the symmetric 3x3 HᵀH:  R = H · Σ_i λ_i^(-1/2) e_i e_iᵀ.
+
+    Distinct route from :func:`align_svd` (no SVD, no reflection fix);
+    degenerate λ are clamped so the inverse square root stays finite.
+    """
+    H = stats.S.T.astype(jnp.float32)  # S = Σ d̃ m̃ᵀ  ⇒  H = Σ m̃ d̃ᵀ
+    lam, E = jnp.linalg.eigh(H.T @ H)
+    inv_sqrt = jax.lax.rsqrt(jnp.maximum(lam, 1e-12))
+    R = H @ (E * inv_sqrt[None, :]) @ E.T
     return _finish(R, stats)
 
 
@@ -449,41 +481,165 @@ def align_lumeuler(stats: PairStats, T_cur=None):
 
 
 def align_lumquat(stats: PairStats, T_cur=None):
-    """Lu/Milios single-pair quaternion minimizer (ref
-    icp6Dlumquat.cc): same midpoint/delta linearization as lumeuler but
-    parameterized by (t, quat) with the U/T Jacobian blocks.
+    """Lu/Milios single-pair **quaternion** minimizer (ref
+    icp6Dlumquat.cc:40-230): the 7-dof linearization over midpoints
+    u = (m+d)/2 and deltas δ = m−d,
 
-    Implementation note: the Euler and quaternion parametrizations are
-    linearizations of the same objective around the same pose; they
-    agree to first order.  We solve the euler form and return it — the
-    algorithm id -a 8 maps here (documented deviation: identical
-    update to first order, avoids a second 7-dof code path).
+        MZ = [Σδ ; Σu·δ ; Σ(z δy − y δz) ; Σ(x δz − z δx) ; Σ(y δx − x δy)]
+        MM = the 7x7 Gram matrix of (t, quat) observations,
+
+    solved for Ehat = MM⁻¹MZ, then mapped through the pose Jacobian H
+    (identity / −2T / 2U blocks built from the current quaternion and
+    translation, icp6Dlumquat.cc:146-160) and returned as T1·T2⁻¹.
+
+    Raw sums derive exactly from PairStats moments:
+    Σu = (sm+sd)/2, Σuuᵀ = (Mm+Dd+Dm+Dmᵀ)/4, Σδ = sm−sd,
+    Σu·δ = (tr Mm − tr Dd)/2, Σu×δ = axial(Dm).  (Deviation: the
+    reference computes the midpoint x-component as (p1.x+p1.x)/2 —
+    an evident typo for (p1.x+p2.x)/2; we use the true midpoint.)
     """
-    return align_lumeuler(stats, T_cur)
+    dt = jnp.float32
+    n = jnp.maximum(stats.n, 1.0).astype(dt)
+    sm, sd = stats.sum_m.astype(dt), stats.sum_d.astype(dt)
+    Mm, Dd, Dm = stats.Mm.astype(dt), stats.Dd.astype(dt), stats.Dm.astype(dt)
+    su = 0.5 * (sm + sd)
+    Uu = 0.25 * (Mm + Dd + Dm + Dm.T)
+    sdelta = sm - sd
+    u_dot_delta = 0.5 * (jnp.trace(Mm) - jnp.trace(Dd))
+    uxd = _axial(Dm)  # Σ u×δ
+    MZ = jnp.concatenate([sdelta, u_dot_delta[None], -uxd])
+    sx, sy, sz = su
+    xy, xz, yz = Uu[0, 1], Uu[0, 2], Uu[1, 2]
+    x2, y2, z2 = Uu[0, 0], Uu[1, 1], Uu[2, 2]
+    z_ = jnp.zeros((), dt)
+    MM = jnp.array(
+        [
+            [n, z_, z_, sx, z_, -sz, sy],
+            [z_, n, z_, sy, sz, z_, -sx],
+            [z_, z_, n, sz, -sy, sx, z_],
+            [sx, sy, sz, x2 + y2 + z2, z_, z_, z_],
+            [z_, sz, -sy, z_, y2 + z2, -xy, -xz],
+            [-sz, z_, sx, z_, -xy, x2 + z2, -yz],
+            [sy, -sx, z_, z_, -xz, -yz, x2 + y2],
+        ],
+        dtype=dt,
+    )
+    Ehat = jnp.linalg.solve(MM, MZ)
+    if T_cur is None:
+        T_cur = jnp.eye(4, dtype=dt)
+    T_cur = T_cur.astype(dt)
+    quat = math3d.matrix4_to_quat(T_cur).astype(dt)
+    p, q, r, s = quat
+    x, y, zc = T_cur[0, 3], T_cur[1, 3], T_cur[2, 3]
+    U = jnp.array(
+        [
+            [p, q, r, s],
+            [q, -p, s, -r],
+            [r, -s, -p, q],
+            [s, r, -q, -p],
+        ],
+        dtype=dt,
+    )
+    Tm = jnp.array(
+        [
+            [p * x + s * y - r * zc, q * x + r * y + s * zc,
+             r * x - q * y + p * zc, s * x - p * y - q * zc],
+            [-s * x + p * y + q * zc, -r * x + q * y - p * zc,
+             q * x + r * y + s * zc, p * x + s * y - r * zc],
+            [r * x - q * y + p * zc, -s * x + p * y + q * zc,
+             -p * x - s * y + r * zc, q * x + r * y - s * zc],
+        ],
+        dtype=dt,
+    )
+    H = jnp.zeros((7, 7), dt)
+    H = H.at[:3, :3].set(jnp.eye(3, dtype=dt))
+    H = H.at[:3, 3:].set(-2.0 * Tm)
+    H = H.at[3:, 3:].set(2.0 * U)
+    Xhat = jnp.concatenate([jnp.stack([x, y, zc]), quat])
+    X = Xhat - jnp.linalg.solve(H, Ehat)
+    # R(q) with the raw (unnormalized) quaternion, exactly as the
+    # reference builds T2 (icp6Dlumquat.cc:190-215).  T2's rotation is
+    # scaled by |q|², so it needs a TRUE matrix inverse (the reference
+    # uses newmat T2.i()) — the rigid-pose shortcut m4inv would leak a
+    # scale factor into T_inc and diverge under iteration.
+    T1 = math3d.quat_to_matrix4(quat, jnp.stack([x, y, zc])).astype(dt)
+    T2 = math3d.quat_to_matrix4(X[3:], X[:3]).astype(dt)
+    T_inc = T1 @ jnp.linalg.inv(T2)
+    err = jnp.sqrt(stats.sum_d2 / jnp.maximum(stats.n, 1.0))
+    return T_inc, err
 
 
-def align_napx(stats_pp, normals_stats=None):
-    """Normals-based small-angle linearization (ref icp6Dnapx.cc):
-    point-to-plane residual n·(Rd + t - m) with R ≈ I + [a]x.
+class NapxStats(NamedTuple):
+    """Sufficient statistics of the point-to-plane linearization
+    (icp6Dnapx.cc): per pair, residual d = (m−t)·n̂, lever c = (t−cd)×n̂;
+    A = Σ [c;n][c;n]ᵀ (6x6), b = Σ d·[c;n] (6,)."""
 
-    Requires per-pair normal statistics; used through
-    models.icp point-to-plane pairing which projects matched points to
-    the tangent plane first — after projection the standard apx update
-    minimizes the same linearized objective, so napx = apx on
-    plane-projected pairs.
+    n: jnp.ndarray
+    A: jnp.ndarray  # [6,6]
+    b: jnp.ndarray  # [6]
+    centroid_d: jnp.ndarray  # [3]
+    sum_d2: jnp.ndarray  # Σ d² (point-to-plane RMS)
+
+
+def napx_stats(m, t, normals, w, accum_dtype=jnp.float32) -> NapxStats:
+    """Reduce matched pairs + target normals to NapxStats.
+
+    m: [N,3] matched model points, t: [N,3] target points (data),
+    normals: [N,3] unit normals at the target points, w: [N] weights.
     """
-    return align_apx(stats_pp)
+    w = w.astype(accum_dtype)
+    m = m.astype(accum_dtype)
+    t = t.astype(accum_dtype)
+    nrm = normals.astype(accum_dtype)
+    n = jnp.sum(w)
+    ns = jnp.maximum(n, 1.0)
+    cd = jnp.sum(w[:, None] * t, axis=0) / ns
+    d = jnp.sum((m - t) * nrm, axis=1)
+    c = jnp.cross(t - cd, nrm)
+    J = jnp.concatenate([c, nrm], axis=1)  # [N,6]
+    wJ = w[:, None] * J
+    A = jnp.einsum("ni,nj->ij", wJ, J)
+    b = jnp.sum(wJ * d[:, None], axis=0)
+    sum_d2 = jnp.sum(w * d * d)
+    return NapxStats(n=n, A=A, b=b, centroid_d=cd, sum_d2=sum_d2)
+
+
+def align_napx(stats: NapxStats):
+    """Point-to-plane small-angle minimizer (ref icp6Dnapx.cc:36-150):
+    solve A x = b for x = (sin-angles; translation), interpret x[0:3] as
+    the sines of the Euler angles and rebuild R in the reference's
+    EulerToMatrix4 layout, with translation x[3:6] recentred about the
+    data centroid:  t = x[3:] + cd − R·cd.
+
+    Deviation (documented): the reference accumulates B = Σ[c;n]
+    without the residual factor d — an evident bug in the linearized
+    normal equations (Low, "Linear Least-Squares Optimization for
+    Point-to-Plane ICP"); we use the correct b = Σ d·[c;n].
+    """
+    dt = jnp.float32
+    A = stats.A.astype(dt) + 1e-9 * jnp.eye(6, dtype=dt)
+    x = jnp.linalg.solve(A, stats.b.astype(dt))
+    sines = jnp.clip(x[:3], -1.0, 1.0)
+    theta = jnp.arcsin(sines)
+    R = math3d.euler_to_matrix3(theta).astype(dt)
+    cd = stats.centroid_d.astype(dt)
+    t = x[3:] + cd - R @ cd
+    T = jnp.eye(4, dtype=dt)
+    T = T.at[:3, :3].set(R)
+    T = T.at[:3, 3].set(t)
+    err = jnp.sqrt(stats.sum_d2 / jnp.maximum(stats.n, 1.0))
+    return T, err
 
 
 MINIMIZERS = {
     "quat": align_quat,  # -a 1  (icp6Dquat.cc)
     "svd": align_svd,  # -a 2  (icp6Dsvd.cc)
-    "ortho": align_svd,  # -a 3  (icp6Dortho.cc; same optimum as SVD)
+    "ortho": align_ortho,  # -a 3  (icp6Dortho.cc polar factor via eigh)
     "dual": align_dual,  # -a 4  (icp6Ddual.cc)
     "helix": align_helix,  # -a 5  (icp6Dhelix.cc)
     "apx": align_apx,  # -a 6  (icp6Dapx.cc)
     "lumeuler": align_lumeuler,  # -a 7 (icp6Dlumeuler.cc)
-    "lumquat": align_lumquat,  # -a 8 (icp6Dlumquat.cc; see docstring)
+    "lumquat": align_lumquat,  # -a 8 (icp6Dlumquat.cc 7-dof linearization)
     "quatscale": align_quat_scale,  # -a 9 (icp6Dquatscale.cc)
-    "napx": align_napx,  # -a 10 (icp6Dnapx.cc; with closest_plane pairing)
+    "napx": align_napx,  # -a 10 (icp6Dnapx.cc; NapxStats, needs normals)
 }

@@ -48,6 +48,12 @@ class SequenceRegistration:
     max_num_metascans: int = 0  # keep only last n scans in the meta model
     extrapolate_odometry: bool = True  # ref -e / eP flag (default on)
     pad_multiple: int = 512
+    # NN engine: "auto" = hashed cell list for large models, brute
+    # otherwise; "brute" | "grid" force one (ref -t nns_type switch,
+    # include/slam6d/scan.h:34-36).
+    nns: str = "auto"
+    grid_min_model: int = 4096  # auto threshold: grid above this M
+    grid_max_cap: int = 768  # fall back to brute beyond this occupancy
 
     def run(self, scans: list[TPUScan]) -> list[dict]:
         """Register scans sequentially.  Mutates scan poses and frames.
@@ -99,11 +105,24 @@ class SequenceRegistration:
             o += len(g)
 
         tgt_pts, tgt_mask = cur.reduced_padded(cap)
-        tgt_normals = (
-            cur.reduced_normals_padded(cap)
-            if self.params.pairing != "closest_point"
-            else None
+        need_normals = (
+            self.params.pairing != "closest_point"
+            or self.params.minimizer == "napx"
         )
+        tgt_normals = cur.reduced_normals_padded(cap) if need_normals else None
+        grid_buckets = grid_cap = 0
+        use_grid = self.nns == "grid" or (
+            self.nns == "auto" and n_model >= self.grid_min_model
+        )
+        if use_grid and self.params.pairing != "along_normal":
+            from ..ops import nn as nn_ops
+
+            max_dist = float(np.sqrt(self.params.max_dist_match2))
+            H, bcap = nn_ops.cell_hash_spec(
+                model_pts[:o], np.ones(o, bool), max_dist
+            )
+            if bcap <= self.grid_max_cap:
+                grid_buckets, grid_cap = H, bcap
         res = icp_mod.icp_pair(
             model_pts,
             model_mask,
@@ -118,6 +137,8 @@ class SequenceRegistration:
             seed=i,
             pairing=self.params.pairing,
             target_normals_local=tgt_normals,
+            grid_buckets=grid_buckets,
+            grid_bucket_cap=grid_cap,
         )
         T_new = np.asarray(res.T, dtype=np.float64)
         # orthonormalize the accumulated f32 rotation before storing
