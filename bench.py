@@ -3,13 +3,27 @@
 Primary metric: ICP iterations/second/chip at 16k model x 16k target
 points (one iteration = full NN correspondence search + closed-form
 pose solve), the kernel speed-of-light measure named in BASELINE.json.
-Extras: end-to-end registration of the bundled dat/ sequence (scans/s),
-matching the reference's `Matching done in N ms` wall-time
-(src/slam6d/slam6D.cc:874-875).
 
-vs_baseline: ratio against the reference slam6D CPU wall-time on the
-same dat workload, read from BASELINE_MEASURED.json if present
-(produced by scripts/measure_reference.sh); 0.0 when not yet measured.
+Extras:
+- dat_*: end-to-end registration of the bundled dat/ sequence (metascan
+  ICP + LUM relaxation — the reference's `Matching done in N ms`
+  workload, src/slam6d/slam6D.cc:874-875, plus the -G 1 graph phase)
+  with the trajectory ATE against the committed f64 oracle
+  (tests/golden/dat, scripts/make_golden.py).
+- nn_256k_*: hashed cell-list NN kernel at 256k model x 256k queries
+  (build once + per-iteration query, the hot-loop shape of city-scale
+  scans) with achieved gather bandwidth.
+- hannover_synth_*: the north-star workload shape — a synthetic
+  multi-loop sequence (hundreds of scans) through the full
+  GraphPipeline (sequential ICP + ELCH loop closure + LUM), reported as
+  scans/s with the per-phase breakdown (matching/elch/lum cov/solve).
+
+vs_baseline: ratio against the CPU reference-equivalent pipeline
+wall-time on the same dat ICP+LUM workload, read from
+BASELINE_MEASURED.json (produced by scripts/measure_reference.py —
+scipy cKDTree with parallel queries + f64 Horn ICP + f64 LUM; the real
+slam6D binary is not buildable in this image, so this stand-in is the
+denominator; see the `baseline_caveat` extra).
 """
 
 from __future__ import annotations
@@ -21,6 +35,7 @@ import time
 import numpy as np
 
 REPO = os.path.dirname(os.path.abspath(__file__))
+GOLDEN_DAT = os.path.join(REPO, "tests", "golden", "dat")
 
 
 def bench_icp_step(M=16384, N=16384, iters=20):
@@ -53,42 +68,199 @@ def bench_icp_step(M=16384, N=16384, iters=20):
     return iters / dt, dt / iters
 
 
-def bench_dat_registration():
-    dat = "/root/reference/dat"
-    if not os.path.isdir(dat):
-        return None
+def bench_nn_kernel(M=262144, Q=262144, iters=10):
+    """Hashed cell-list NN at city-scan scale: build once (the per-match
+    cost) + query per iteration (the per-ICP-iteration cost).  Returns
+    throughput + achieved gather bandwidth (bytes touched / s: 12 B per
+    candidate point, 27*cap candidates per query)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu3dtk.ops import nn as nn_ops
+
+    rng = np.random.default_rng(1)
+    model = rng.uniform(0, 5000, (M, 3)).astype(np.float32)  # ~50 m hall
+    query = (model[rng.permutation(Q) % M] + rng.normal(0, 5, (Q, 3))).astype(
+        np.float32
+    )
+    max_dist = 25.0
+    H, cap = nn_ops.cell_hash_spec(model, np.ones(M, bool), max_dist)
+    origin = jnp.asarray(model.min(axis=0))
+    mj = jnp.asarray(model)
+    qj = jnp.asarray(query)
+    mask = jnp.ones(M, bool)
+    qmask = jnp.ones(Q, bool)
+
+    grid = nn_ops.build_cell_hash(mj, mask, origin, jnp.float32(max_dist), H)
+    jax.block_until_ready(grid.points)
+    t0 = time.perf_counter()
+    grid = nn_ops.build_cell_hash(mj, mask, origin, jnp.float32(max_dist), H)
+    jax.block_until_ready(grid.points)
+    build_s = time.perf_counter() - t0
+
+    idx, d2, found = nn_ops.nn_cell_hash(
+        qj, qmask, grid, jnp.float32(max_dist**2), cap
+    )
+    jax.block_until_ready(idx)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        idx, d2, found = nn_ops.nn_cell_hash(
+            qj, qmask, grid, jnp.float32(max_dist**2), cap
+        )
+    jax.block_until_ready(idx)
+    query_s = (time.perf_counter() - t0) / iters
+    bytes_gathered = Q * 27 * cap * 12.0  # candidate xyz f32
+    return {
+        "nn_256k_build_ms": round(build_s * 1e3, 2),
+        "nn_256k_query_ms": round(query_s * 1e3, 2),
+        "nn_256k_mq_per_s": round(Q / query_s / 1e6, 2),
+        "nn_256k_gather_gb_per_s": round(bytes_gathered / query_s / 1e9, 1),
+        "nn_256k_bucket_cap": cap,
+    }
+
+
+def _load_dat_scans():
     from tpu3dtk.core.scan import TPUScan
     from tpu3dtk.io.scandir import PointFilter, read_scan_dir
-    from tpu3dtk.models.icp import IcpParams
-    from tpu3dtk.models.sequence import SequenceRegistration
 
     scans = []
-    for raw in read_scan_dir(dat, format="uos", point_filter=PointFilter(range_max=500.0)):
+    for raw in read_scan_dir(
+        "/root/reference/dat", format="uos", point_filter=PointFilter(range_max=500.0)
+    ):
         s = TPUScan.from_raw(raw)
         s.set_reduction(10.2, 1)
         scans.append(s)
     for s in scans:
         s.reduced_local()  # host-side load+reduce excluded from timing
+    return scans
+
+
+def _run_dat_pipeline(scans):
+    """The BASELINE_MEASURED workload: metascan ICP + LUM (chain +
+    closing link), identical protocol to scripts/measure_reference.py."""
+    from tpu3dtk.models.graphslam import LumParams, do_graph_slam
+    from tpu3dtk.models.icp import IcpParams
+    from tpu3dtk.models.sequence import SequenceRegistration
+
     reg = SequenceRegistration(
         params=IcpParams(max_dist_match2=625.0, max_iterations=50, epsilon=1e-7),
         metascan=True,
     )
-    # warmup (compile)
-    import copy
+    reg.run(scans)
+    links = np.array(
+        [(i, i + 1) for i in range(len(scans) - 1)] + [(0, len(scans) - 1)],
+        np.int32,
+    )
+    do_graph_slam(
+        scans, links, LumParams(max_dist_match2=625.0, iterations=50, epsilon=1e-5)
+    )
 
+
+def bench_dat_registration():
+    if not os.path.isdir("/root/reference/dat"):
+        return None
+    from tpu3dtk.core.scan import TPUScan
+
+    scans = _load_dat_scans()
+    # warmup (compile) on a copy
     warm = [
         TPUScan.from_points(s.reduced_local(), s.identifier, s.transMatOrg)
         for s in scans
     ]
     for w, s in zip(warm, scans):
         w._reduced_local = s.reduced_local()
-    SequenceRegistration(
-        params=reg.params, metascan=True
-    ).run(warm)
+    _run_dat_pipeline(warm)
+
     t0 = time.perf_counter()
-    reg.run(scans)
+    _run_dat_pipeline(scans)
     dt = time.perf_counter() - t0
-    return {"scans": len(scans), "wall_s": dt, "scans_per_s": len(scans) / dt}
+    out = {"scans": len(scans), "wall_s": dt, "scans_per_s": len(scans) / dt}
+
+    if os.path.isdir(GOLDEN_DAT):
+        import tempfile
+
+        from tpu3dtk.io import frames as frames_io
+        from tpu3dtk.io.converters import ate
+
+        with tempfile.TemporaryDirectory() as td:
+            for s in scans:
+                mats = np.stack([m for m, _ in s.frames])
+                frames_io.write_frames(
+                    frames_io.frames_path(td, s.identifier),
+                    mats,
+                    [t for _, t in s.frames],
+                )
+            out["ate"] = ate(td, GOLDEN_DAT, align=False)
+    return out
+
+
+def bench_hannover_synth(n_scans=100):
+    """North-star-shaped workload: a synthetic closed-circuit sequence
+    (hannover2's regime: hundreds of scans, loop closures, -L 4 -G 1)
+    through the full GraphPipeline.  Reports scans/s and the named-phase
+    breakdown (the reference's WITH_METRICS taxonomy)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from make_golden import synth_loop
+
+    from tpu3dtk.core.scan import TPUScan
+    from tpu3dtk.models.graph_pipeline import GraphPipeline
+    from tpu3dtk.models.icp import IcpParams
+    from tpu3dtk.utils.metrics import metrics
+
+    locals_, true_mats, odo_mats = synth_loop(n_scans=n_scans)
+    scans = []
+    for k, (loc, To) in enumerate(zip(locals_, odo_mats)):
+        s = TPUScan.from_points(loc, f"{k:03d}", To)
+        s.set_reduction(25.0, 1)
+        s.reduced_local()
+        scans.append(s)
+
+    def build_pipe():
+        return GraphPipeline(
+            icp_params=IcpParams(
+                max_dist_match2=2500.0, max_iterations=50, epsilon=1e-6
+            ),
+            lum_max_dist2=2500.0,
+            lum_iterations=10,
+            lum_epsilon=0.1,
+            elch=True,
+            cldist=700.0,
+            loopsize=10,
+        )
+
+    # warmup on the first few scans to absorb compiles
+    warm = [
+        TPUScan.from_points(s.reduced_local(), s.identifier, s.transMatOrg)
+        for s in scans[:12]
+    ]
+    for w, s in zip(warm, scans[:12]):
+        w._reduced_local = s.reduced_local()
+    build_pipe().run(warm)
+
+    metrics.reset()
+    t0 = time.perf_counter()
+    build_pipe().run(scans)
+    dt = time.perf_counter() - t0
+    phases = {
+        f"hannover_synth_{name}_s": round(m.total, 2)
+        for name, m in metrics.timers.items()
+    }
+    err = None
+    if true_mats is not None:
+        pos_est = np.stack([s.transMat[:3, 3] for s in scans])
+        pos_true = np.stack([m[:3, 3] for m in true_mats])
+        # align (first pose anchored already)
+        err = float(np.sqrt(((pos_est - pos_true) ** 2).sum(1).mean()))
+    out = {
+        "hannover_synth_scans": n_scans,
+        "hannover_synth_wall_s": round(dt, 2),
+        "hannover_synth_scans_per_s": round(n_scans / dt, 3),
+        "hannover_synth_ate_rmse_cm": round(err, 2) if err is not None else None,
+    }
+    out.update(phases)
+    return out
 
 
 def main():
@@ -127,19 +299,35 @@ def run_benchmarks():
     cache_path = os.path.join(REPO, "BENCH_LAST_GOOD.json")
     iters_per_s, s_per_iter = bench_icp_step()
     extra = {"s_per_icp_iter_16k": round(s_per_iter, 5)}
-    dat = bench_dat_registration()
+    try:
+        extra.update(bench_nn_kernel())
+    except Exception as e:  # never lose the primary metric
+        extra["nn_256k_error"] = repr(e)[:200]
     vs_baseline = 0.0
+    dat = bench_dat_registration()
     if dat:
         extra.update(
             dat_scans_per_s=round(dat["scans_per_s"], 3),
             dat_matching_ms=round(dat["wall_s"] * 1000.0, 1),
         )
+        if "ate" in dat:
+            extra["dat_ate_rmse_cm"] = round(dat["ate"]["rmse"], 3)
+            extra["dat_ate_max_cm"] = round(dat["ate"]["max"], 3)
         mpath = os.path.join(REPO, "BASELINE_MEASURED.json")
         if os.path.exists(mpath):
             ref = json.load(open(mpath))
             ref_ms = ref.get("dat_matching_ms")
             if ref_ms:
                 vs_baseline = round(ref_ms / (dat["wall_s"] * 1000.0), 3)
+                extra["baseline_caveat"] = (
+                    "denominator is a CPU reference-equivalent "
+                    "(parallel cKDTree + f64 Horn ICP + f64 LUM), not the "
+                    "unbuildable slam6D binary; see BASELINE_MEASURED.json"
+                )
+    try:
+        extra.update(bench_hannover_synth())
+    except Exception as e:
+        extra["hannover_synth_error"] = repr(e)[:200]
     result = {
         "metric": "icp_iters_per_s_16kx16k",
         "value": round(iters_per_s, 2),

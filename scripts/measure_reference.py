@@ -2,11 +2,16 @@
 
 The reference binary (slam6D) cannot be built in this image (no Boost /
 SuiteSparse packages, zero egress), so this script runs a faithful
-CPU *reference-equivalent*: the same ICP algorithm — kd-tree NN
-(scipy cKDTree, C implementation, the same data structure as the
-reference's src/slam6d/kd.cc), double-precision Horn quaternion
-minimizer, identical iteration/convergence logic (icp6D.cc:104-285) —
-single-threaded on the same dat/ workload bench.py times on TPU.
+CPU *reference-equivalent* of the full dat pipeline bench.py times:
+
+- ICP: kd-tree NN (scipy cKDTree, C implementation, the same data
+  structure as the reference's src/slam6d/kd.cc) with **parallel
+  queries across all cores** (the reference's ICP is OpenMP-parallel,
+  icp6D.cc:129-222, so a single-threaded denominator would overstate
+  the speedup), double-precision Horn quaternion minimizer, identical
+  iteration/convergence logic (icp6D.cc:104-285);
+- LUM: f64 link covariances + dense solve (lum6Deuler.cc math, the
+  -G 1 phase), same graph and iteration protocol as bench.py.
 
 Writes BASELINE_MEASURED.json: {"dat_matching_ms": ..., "method": ...}.
 Replace with real slam6D timings when a full build environment exists.
@@ -23,6 +28,13 @@ import numpy as np
 from scipy.spatial import cKDTree
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# CPU-only measurement: never touch the TPU tunnel (the axon
+# sitecustomize hook overrides JAX_PLATFORMS, so set the config directly)
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -35,7 +47,7 @@ def cpu_icp_match(model, target_local, T0, max_dist2, max_iter, eps):
     for it in range(max_iter):
         prev2, prev = prev, ret
         tgt = target_local @ T[:3, :3].T + T[:3, 3]
-        d, idx = tree.query(tgt)
+        d, idx = tree.query(tgt, workers=-1)
         sel = d * d < max_dist2
         m = model[idx[sel]]
         t = tgt[sel]
@@ -100,10 +112,18 @@ def main():
             ]
         )
         mats[i] = cpu_icp_match(model, reduced[i], T0, 625.0, 50, 1e-7)
+    # LUM phase: same graph + protocol as bench.py's _run_dat_pipeline
+    from make_golden import lum_f64
+
+    links = [(i, i + 1) for i in range(len(scans) - 1)] + [(0, len(scans) - 1)]
+    lum_f64(reduced, mats, links, 625.0, iters=50, eps=1e-5)
     dt_ms = (time.perf_counter() - t0) * 1000.0
     out = {
         "dat_matching_ms": round(dt_ms, 1),
-        "method": "cpu reference-equivalent: scipy cKDTree NN + f64 Horn quat ICP, single-thread",
+        "method": (
+            "cpu reference-equivalent: scipy cKDTree NN (parallel queries, "
+            "all cores) + f64 Horn quat ICP + f64 LUM relaxation"
+        ),
         "note": "reference slam6D not buildable in this image (no boost/suitesparse)",
     }
     with open(os.path.join(REPO, "BASELINE_MEASURED.json"), "w") as f:
