@@ -109,3 +109,32 @@ def test_pipeline_with_loop(rng):
         ]
     )
     assert final_err < odo_err * 0.5, (odo_err, final_err)
+
+
+@pytest.mark.parametrize("algo", [1, 2, 3])
+def test_close_loop_variants_reduce_drift(rng, algo):
+    """The euler (-L 1), quat (-L 2) and unitQuat (-L 3) distributions
+    must each pull the drifted ring towards truth, like slerp does."""
+    scans, true_poses = _loop_scans(rng)
+    n = len(scans)
+    edges = [(i, i + 1) for i in range(n - 1)]
+    before = np.mean(
+        [
+            np.linalg.norm(s.transMat[:3, 3] - T[:3, 3])
+            for s, T in zip(scans, true_poses)
+        ]
+    )
+    elch.ELCH_VARIANTS[algo](
+        scans, 0, n - 1, edges,
+        elch.ElchParams(max_dist_match2=2500.0, icp_iterations=80),
+    )
+    after = np.mean(
+        [
+            np.linalg.norm(s.transMat[:3, 3] - T[:3, 3])
+            for s, T in zip(scans, true_poses)
+        ]
+    )
+    assert after < before * 0.7, (algo, before, after)
+    np.testing.assert_allclose(scans[0].transMat, true_poses[0], atol=1e-9)
+    # every scan got an ELCH frame
+    assert all(s.frames for s in scans)

@@ -18,7 +18,7 @@ Implemented flags (same letters/longs as the reference):
   -I/--iterSLAM        max LUM outer iterations
   -D/--distSLAM        max match distance for LUM (cm)
   --epsSLAM            LUM convergence epsilon
-  -L/--loop6DAlgo      4 = ELCH slerp loop closure
+  -L/--loop6DAlgo      ELCH loop closure: 1 euler, 2 quat, 3 unitQuat, 4 slerp
   --cldist             loop-closing distance
   --loopsize           min scans between loop ends
   --exportAllPoints    write registered cloud points.pts
@@ -206,7 +206,8 @@ def main(argv=None) -> int:
                 lum_max_dist2=args.distSLAM**2 if args.distSLAM > 0 else args.dist**2,
                 lum_iterations=args.iterSLAM,
                 lum_epsilon=args.epsSLAM,
-                elch=args.loop6DAlgo == 4,
+                elch=args.loop6DAlgo in (1, 2, 3, 4),
+                elch_algo=args.loop6DAlgo,
                 cldist=args.cldist,
                 loopsize=args.loopsize,
                 slam_algo=max(args.graphSlam6DAlgo, 1),

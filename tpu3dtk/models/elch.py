@@ -1,7 +1,9 @@
-"""ELCH — Explicit Loop Closing Heuristic (slerp variant), the TPU-native
-``elch6Dslerp`` (ref src/slam6d/elch6Dslerp.cc:44-200) with the
-Dijkstra-based error-distribution weights of ``elch6D::graph_balancer``
-(src/slam6d/elch6D.cc:186-280).
+"""ELCH — Explicit Loop Closing Heuristic, all four reference variants:
+``elch6Dslerp`` (src/slam6d/elch6Dslerp.cc:44-200, the -L 4 default),
+``elch6Deuler`` (elch6Deuler.cc:42-139), ``elch6Dquat``
+(elch6Dquat.cc:44-151) and ``elch6DunitQuat`` (elch6DunitQuat.cc:44-200),
+with the Dijkstra-based error-distribution weights of
+``elch6D::graph_balancer`` (src/slam6d/elch6D.cc:186-280).
 
 Pipeline on loop detection (first, last):
 1. per-edge weights from pose-graph covariances: 4 weight graphs (x, y,
@@ -30,7 +32,15 @@ from ..core import math3d
 from ..core.scan import TPUScan
 from ..io.frames import AlgoType
 
-__all__ = ["graph_balancer", "close_loop", "ElchParams"]
+__all__ = [
+    "graph_balancer",
+    "close_loop",
+    "close_loop_euler",
+    "close_loop_quat",
+    "close_loop_unitquat",
+    "ELCH_VARIANTS",
+    "ElchParams",
+]
 
 
 def graph_balancer(edges, weights_per_edge, first, last, n):
@@ -141,6 +151,27 @@ def _slerp(q0, q1, t):
     return out / np.linalg.norm(out)
 
 
+def _quat_mult(a, b):
+    """Hamilton product a*b, [w,x,y,z] (ref globals.icc QMult)."""
+    aw, ax, ay, az = a
+    bw, bx, by, bz = b
+    return np.array(
+        [
+            aw * bw - ax * bx - ay * by - az * bz,
+            aw * bx + ax * bw + ay * bz - az * by,
+            aw * by - ax * bz + ay * bw + az * bx,
+            aw * bz + ax * by - ay * bx + az * bw,
+        ]
+    )
+
+
+def _nlerp(q0, q1, t):
+    """Normalized linear interpolation (the reference's additive
+    quaternion blending in elch6DunitQuat.cc:160-180 + Normalize4)."""
+    out = (1.0 - t) * np.asarray(q0) + t * np.asarray(q1)
+    return out / np.linalg.norm(out)
+
+
 @dataclasses.dataclass
 class ElchParams:
     max_dist_match2: float = 625.0
@@ -149,25 +180,14 @@ class ElchParams:
     pad_multiple: int = 512
 
 
-def close_loop(
-    scans: list[TPUScan],
-    first: int,
-    last: int,
-    graph_edges: list[tuple[int, int]],
-    params: ElchParams,
-) -> None:
-    """Close the loop (first, last): ICP metascan(first±2) vs
-    metascan(last-2..last), distribute the correction by balanced
-    weights with per-axis translation scaling + rotation slerp
-    (elch6Dslerp.cc:93-190).  Mutates scan poses (ELCH frames)."""
+def _edge_covariances_euler(scans, graph_edges, params):
+    """Per-edge 6x6 LUM-Euler covariances in the current global frames
+    (the covarianceEuler role, elch6Deuler.cc:50-64)."""
     import jax.numpy as jnp
 
-    from . import icp as icp_mod
     from .graphslam import link_covariances
 
     n = len(scans)
-
-    # 1-2. edge weights from link covariances -> balanced vertex weights
     cap = max(len(s.reduced_local()) for s in scans)
     cap = ((cap + params.pad_multiple - 1) // params.pad_multiple) * params.pad_multiple
     pts = np.zeros((n, cap, 3), np.float32)
@@ -182,23 +202,49 @@ def close_loop(
         jnp.asarray(pts), jnp.asarray(msk), jnp.asarray(edges_arr),
         jnp.float32(params.max_dist_match2),
     )
-    C = np.asarray(C, np.float64)
-    wtrans = np.zeros((len(graph_edges), 3))
-    wrot = np.zeros(len(graph_edges))
-    for li in range(len(graph_edges)):
-        Ci = C[li]
-        try:
-            Cinv = np.linalg.inv(Ci)
-        except np.linalg.LinAlgError:
-            Cinv = np.eye(6)
-        wtrans[li] = np.abs(np.diag(Cinv)[:3])
-        wrot[li] = np.abs(np.diag(Cinv)[3:]).sum()
-    weights = [
-        graph_balancer(graph_edges, wtrans[:, k], first, last, n)
-        for k in range(3)
-    ] + [graph_balancer(graph_edges, wrot, first, last, n)]
+    return np.asarray(C, np.float64)
 
-    # 3. ICP: metascan around first vs metascan around last
+
+def _edge_covariances_quat(scans, graph_edges, params):
+    """Per-edge 7x7 LUM-Quat covariances (the covarianceQuat role,
+    elch6Dquat.cc:50-64) via the shared raw-sum link kernel."""
+    from .graphslam import LumParams as _LP
+    from .graphslam_variants import _collect_raw, _quat_link_CCD
+
+    lp = _LP(
+        max_dist_match2=params.max_dist_match2,
+        pad_multiple=params.pad_multiple,
+    )
+    raw = _collect_raw(scans, np.asarray(graph_edges, np.int32), lp)
+    return np.stack(
+        [_quat_link_CCD(raw, li)[0] for li in range(len(graph_edges))]
+    )
+
+
+def _inv_diag_weights(C, n_dof):
+    """Edge weights = |diag(C⁻¹)| per dof (elch6D*.cc:56-64)."""
+    E = len(C)
+    w = np.zeros((E, n_dof))
+    for li in range(E):
+        try:
+            Cinv = np.linalg.inv(C[li])
+        except np.linalg.LinAlgError:
+            Cinv = np.eye(n_dof)
+        w[li] = np.abs(np.diag(Cinv))[:n_dof]
+    return w
+
+
+def _loop_icp_align(scans, first, last, params):
+    """ICP of metascan(first±2) vs metascan(last-2..last) in global
+    frames.  Returns the orthonormalized 4x4 ``align`` with
+    P_new = align @ P_old for the end-window scans
+    (elch6D*.cc my_icp6D->match(start, end))."""
+    import jax.numpy as jnp
+
+    from . import icp as icp_mod
+
+    n = len(scans)
+
     def window_global(lo, hi):
         chunks = []
         for i in range(max(0, lo), min(n, hi + 1)):
@@ -210,8 +256,7 @@ def close_loop(
         return np.concatenate(chunks, axis=0).astype(np.float32)
 
     model = window_global(first - 2, first + 2)
-    end_lo, end_hi = last - 2, last
-    target = window_global(end_lo, end_hi)
+    target = window_global(last - 2, last)
     mcap = ((len(model) + 511) // 512) * 512
     tcap = ((len(target) + 511) // 512) * 512
     mp = np.zeros((mcap, 3), np.float32)
@@ -222,9 +267,6 @@ def close_loop(
     tp[: len(target)] = target
     tm = np.zeros(tcap, bool)
     tm[: len(target)] = True
-
-    Pl0 = scans[last].transMat.copy()
-    Pf0 = scans[first].transMat.copy()
     res = icp_mod.icp_pair(
         jnp.asarray(mp), jnp.asarray(mm), jnp.asarray(tp), jnp.asarray(tm),
         jnp.eye(4, dtype=jnp.float32),
@@ -232,11 +274,40 @@ def close_loop(
         epsilon=params.icp_epsilon,
         max_iterations=params.icp_iterations,
     )
-    # align maps the end-window (already global) onto the start window:
-    # Pp0 = align @ Pl0
     align = np.asarray(res.T, np.float64)
     u, _, vt = np.linalg.svd(align[:3, :3])
     align[:3, :3] = u @ vt
+    return align
+
+
+def close_loop(
+    scans: list[TPUScan],
+    first: int,
+    last: int,
+    graph_edges: list[tuple[int, int]],
+    params: ElchParams,
+) -> None:
+    """Close the loop (first, last): ICP metascan(first±2) vs
+    metascan(last-2..last), distribute the correction by balanced
+    weights with per-axis translation scaling + rotation slerp
+    (elch6Dslerp.cc:93-190).  Mutates scan poses (ELCH frames)."""
+    n = len(scans)
+
+    # 1-2. edge weights from link covariances -> balanced vertex weights
+    C = _edge_covariances_euler(scans, graph_edges, params)
+    wd = _inv_diag_weights(C, 6)
+    wtrans = wd[:, :3]
+    wrot = wd[:, 3:].sum(axis=1)
+    weights = [
+        graph_balancer(graph_edges, wtrans[:, k], first, last, n)
+        for k in range(3)
+    ] + [graph_balancer(graph_edges, wrot, first, last, n)]
+
+    # 3. ICP: metascan around first vs metascan around last
+    end_lo, end_hi = last - 2, last
+    Pl0 = scans[last].transMat.copy()
+    Pf0 = scans[first].transMat.copy()
+    align = _loop_icp_align(scans, first, last, params)
     Pp0 = align @ Pl0
 
     # delta (elch6Dslerp.cc:121-131):
@@ -269,3 +340,145 @@ def close_loop(
             Ti = delta0 @ frac @ Pf0_inv
         scans[i].transform(Ti, AlgoType.ELCH, record=True)
     scans[0].add_frame(AlgoType.ELCH)
+
+
+def close_loop_euler(
+    scans: list[TPUScan],
+    first: int,
+    last: int,
+    graph_edges: list[tuple[int, int]],
+    params: ElchParams,
+) -> None:
+    """elch6Deuler::close_loop (-L 1, ref elch6Deuler.cc:42-139): six
+    weight graphs (|diag C⁻¹| per Euler dof), the loop-closing delta is
+    the change of scan `last`'s Euler pose under the loop ICP, and every
+    scan's pose moves additively by delta·(w_dof[i] − w_dof[0]).  The
+    end-window scans keep their matched poses (zero weights)."""
+    n = len(scans)
+    C = _edge_covariances_euler(scans, graph_edges, params)
+    wd = _inv_diag_weights(C, 6)
+    weights = np.stack(
+        [graph_balancer(graph_edges, wd[:, k], first, last, n) for k in range(6)]
+    )  # [6, n]
+    weights[:, last - 2 : last + 1] = 0.0  # elch6Deuler.cc:85-89
+
+    Pl0 = scans[last].transMat.copy()
+    th0, pos0 = math3d.matrix4_to_euler(Pl0, xp=np)
+    align = _loop_icp_align(scans, first, last, params)
+    th1, pos1 = math3d.matrix4_to_euler(align @ Pl0, xp=np)
+    delta = np.concatenate([np.asarray(pos1) - pos0, np.asarray(th1) - th0])
+
+    # apply the match to the end-window scans (my_icp6D->match side effect)
+    for i in range(max(0, last - 2), last + 1):
+        scans[i].set_pose(align @ scans[i].transMat, AlgoType.INVALID, record=False)
+
+    for i in range(1, n):
+        th, pos = math3d.matrix4_to_euler(scans[i].transMat, xp=np)
+        new_pos = np.asarray(pos) + delta[:3] * (weights[:3, i] - weights[:3, 0])
+        new_th = np.asarray(th) + delta[3:] * (weights[3:, i] - weights[3:, 0])
+        T = np.asarray(math3d.euler_to_matrix4(new_pos, new_th, xp=np))
+        scans[i].set_pose(T, AlgoType.ELCH)
+    scans[0].add_frame(AlgoType.ELCH)
+
+
+def close_loop_quat(
+    scans: list[TPUScan],
+    first: int,
+    last: int,
+    graph_edges: list[tuple[int, int]],
+    params: ElchParams,
+) -> None:
+    """elch6Dquat::close_loop (-L 2, ref elch6Dquat.cc:44-151): seven
+    weight graphs from the 7x7 quaternion covariance; delta is the
+    componentwise (pos, quat) change of scan `last`; each scan's quat
+    moves additively and is renormalized."""
+    n = len(scans)
+    C = _edge_covariances_quat(scans, graph_edges, params)
+    wd = _inv_diag_weights(C, 7)
+    weights = np.stack(
+        [graph_balancer(graph_edges, wd[:, k], first, last, n) for k in range(7)]
+    )
+    weights[:, last - 2 : last + 1] = 0.0
+
+    Pl0 = scans[last].transMat.copy()
+    q0 = np.asarray(math3d.matrix4_to_quat(Pl0))
+    align = _loop_icp_align(scans, first, last, params)
+    Pl1 = align @ Pl0
+    q1 = np.asarray(math3d.matrix4_to_quat(Pl1))
+    if np.dot(q0, q1) < 0:  # consistent hemisphere for the difference
+        q1 = -q1
+    delta = np.concatenate([Pl1[:3, 3] - Pl0[:3, 3], q1 - q0])
+
+    for i in range(max(0, last - 2), last + 1):
+        scans[i].set_pose(align @ scans[i].transMat, AlgoType.INVALID, record=False)
+
+    for i in range(1, n):
+        Ti = scans[i].transMat
+        qi = np.asarray(math3d.matrix4_to_quat(Ti))
+        new_pos = Ti[:3, 3] + delta[:3] * (weights[:3, i] - weights[:3, 0])
+        new_q = qi + delta[3:] * (weights[3:, i] - weights[3:, 0])
+        new_q = new_q / np.linalg.norm(new_q)
+        T = np.asarray(math3d.quat_to_matrix4(new_q, new_pos))
+        scans[i].set_pose(T, AlgoType.ELCH)
+    scans[0].add_frame(AlgoType.ELCH)
+
+
+def close_loop_unitquat(
+    scans: list[TPUScan],
+    first: int,
+    last: int,
+    graph_edges: list[tuple[int, int]],
+    params: ElchParams,
+) -> None:
+    """elch6DunitQuat::close_loop (-L 3, ref elch6DunitQuat.cc:44-200):
+    four weight graphs (3 translation + summed quat rotation from the
+    7x7 covariance); the end-window poses are RESTORED after the loop
+    ICP; rotation distributed by nlerp towards deltaQ·q_i with a scan-0
+    compensation factor."""
+    n = len(scans)
+    C = _edge_covariances_quat(scans, graph_edges, params)
+    wd = _inv_diag_weights(C, 7)
+    w4 = np.stack([wd[:, 0], wd[:, 1], wd[:, 2], wd[:, 3:].sum(axis=1)])
+    weights = np.stack(
+        [graph_balancer(graph_edges, w4[k], first, last, n) for k in range(4)]
+    )
+    # NOTE: unlike euler/quat, the reference does NOT zero the
+    # end-window weights here (elch6DunitQuat.cc keeps them — the window
+    # poses are restored after the match and moved by the distribution).
+
+    Pl0 = scans[last].transMat.copy()
+    q1c = np.asarray(math3d.matrix4_to_quat(Pl0))
+    q1c[1:] = -q1c[1:]  # conjugate (elch6DunitQuat.cc:118-122)
+    align = _loop_icp_align(scans, first, last, params)
+    Pl1 = align @ Pl0
+    q2 = np.asarray(math3d.matrix4_to_quat(Pl1))
+    deltaT = Pl1[:3, 3] - Pl0[:3, 3]
+    deltaQ = _quat_mult(q2, q1c)  # q2 * q1⁻¹
+    # end-window poses restored (the reference transforms them back with
+    # AlgoType INVALID) — nothing to do: we never mutated them.
+
+    # scan-0 compensation (elch6DunitQuat.cc:168-178)
+    q_s0 = np.asarray(math3d.matrix4_to_quat(scans[0].transMat))
+    blend0 = _nlerp(q_s0, _quat_mult(deltaQ, q_s0), weights[3, 0])
+    blend0_conj = blend0 * np.array([1.0, -1.0, -1.0, -1.0])
+    scan0_pdelta = _quat_mult(q_s0, blend0_conj)
+
+    for i in range(1, n):
+        Ti = scans[i].transMat
+        qi = np.asarray(math3d.matrix4_to_quat(Ti))
+        new_pos = Ti[:3, 3] + deltaT * (weights[:3, i] - weights[:3, 0])
+        blended = _nlerp(qi, _quat_mult(deltaQ, qi), weights[3, i])
+        new_q = _quat_mult(scan0_pdelta, blended)
+        new_q = new_q / np.linalg.norm(new_q)
+        T = np.asarray(math3d.quat_to_matrix4(new_q, new_pos))
+        scans[i].set_pose(T, AlgoType.ELCH)
+    scans[0].add_frame(AlgoType.ELCH)
+
+
+# -L 1..4 (ref slam6D.cc:696-727 loopSlam6DAlgo switch)
+ELCH_VARIANTS = {
+    1: close_loop_euler,
+    2: close_loop_quat,
+    3: close_loop_unitquat,
+    4: close_loop,
+}

@@ -33,7 +33,8 @@ class GraphPipeline:
     lum_max_dist2: float = 625.0  # -D
     lum_iterations: int = 50  # -I
     lum_epsilon: float = 0.5  # --epsSLAM
-    elch: bool = False  # -L 4
+    elch: bool = False  # loop closing enabled (-L > 0)
+    elch_algo: int = 4  # -L: 1 euler, 2 quat, 3 unitQuat, 4 slerp
     cldist: float = 500.0
     loopsize: int = 20
     mdmll: float = -1.0  # --DlastSLAM (final pass match distance)
@@ -95,17 +96,23 @@ class GraphPipeline:
         return results
 
     def _close_and_relax(self, scans, first, last, edges, upto):
+        from ..utils.metrics import metrics
+
         if self.elch:
-            elch_mod.close_loop(
-                scans[: upto + 1],
-                first,
-                last,
-                [e for e in edges if e[1] <= upto],
-                elch_mod.ElchParams(
-                    max_dist_match2=self.icp_params.max_dist_match2,
-                    icp_iterations=self.icp_params.max_iterations,
-                ),
+            close_fn = elch_mod.ELCH_VARIANTS.get(
+                self.elch_algo, elch_mod.close_loop
             )
+            with metrics.time("elch_time"):
+                close_fn(
+                    scans[: upto + 1],
+                    first,
+                    last,
+                    [e for e in edges if e[1] <= upto],
+                    elch_mod.ElchParams(
+                        max_dist_match2=self.icp_params.max_dist_match2,
+                        icp_iterations=self.icp_params.max_iterations,
+                    ),
+                )
             edges.append((first, last))
         if self.lum_iterations > 0 and self.lum_max_dist2 > 0:
             sub = scans[: upto + 1]

@@ -255,29 +255,36 @@ def assemble_GB(links: np.ndarray, C: np.ndarray, CD: np.ndarray, n_scans: int):
 def lum_pose_corrections(poses_pos, poses_theta, X):
     """Ha⁻¹ X per scan (lum6Deuler.cc:375-436).  poses_*: [n,3] for
     scans 1..n (scan 0 fixed); X: [n,6].  Returns result [n,6] to be
-    subtracted from (pos, theta)."""
-    def one(pos, theta, Xi):
-        xa, ya, za = pos
-        tx, ty = theta[0], theta[1]
-        ctx, stx = jnp.cos(tx), jnp.sin(tx)
-        cty, sty = jnp.cos(ty), jnp.sin(ty)
-        Ha = jnp.eye(6, dtype=X.dtype)
-        Ha = Ha.at[0, 4].set(-za * ctx + ya * stx)
-        Ha = Ha.at[0, 5].set(ya * cty * ctx + za * stx * cty)
-        Ha = Ha.at[1, 3].set(za)
-        Ha = Ha.at[1, 4].set(-xa * stx)
-        Ha = Ha.at[1, 5].set(-xa * ctx * cty + za * sty)
-        Ha = Ha.at[2, 3].set(-ya)
-        Ha = Ha.at[2, 4].set(xa * ctx)
-        Ha = Ha.at[2, 5].set(-xa * cty * stx - ya * sty)
-        Ha = Ha.at[3, 5].set(sty)
-        Ha = Ha.at[4, 4].set(stx)
-        Ha = Ha.at[4, 5].set(ctx * cty)
-        Ha = Ha.at[5, 4].set(ctx)
-        Ha = Ha.at[5, 5].set(-stx * cty)
-        return jnp.linalg.solve(Ha, Xi)
+    subtracted from (pos, theta).
 
-    return jax.vmap(one)(poses_pos, poses_theta, X)
+    Host numpy f64, batched: the systems are 6x6 per scan — far below
+    device-dispatch break-even — and the TPU backend has no f64 LU
+    (``LuDecomposition`` supports F32/C64 only), while the pose update
+    itself wants full f64 (SURVEY §7 hard-part 2: f64 pose-math islands
+    stay on host)."""
+    pos = np.asarray(poses_pos, np.float64)
+    theta = np.asarray(poses_theta, np.float64)
+    X = np.asarray(X, np.float64)
+    n = len(X)
+    xa, ya, za = pos[:, 0], pos[:, 1], pos[:, 2]
+    tx, ty = theta[:, 0], theta[:, 1]
+    ctx, stx = np.cos(tx), np.sin(tx)
+    cty, sty = np.cos(ty), np.sin(ty)
+    Ha = np.tile(np.eye(6), (n, 1, 1))
+    Ha[:, 0, 4] = -za * ctx + ya * stx
+    Ha[:, 0, 5] = ya * cty * ctx + za * stx * cty
+    Ha[:, 1, 3] = za
+    Ha[:, 1, 4] = -xa * stx
+    Ha[:, 1, 5] = -xa * ctx * cty + za * sty
+    Ha[:, 2, 3] = -ya
+    Ha[:, 2, 4] = xa * ctx
+    Ha[:, 2, 5] = -xa * cty * stx - ya * sty
+    Ha[:, 3, 5] = sty
+    Ha[:, 4, 4] = stx
+    Ha[:, 4, 5] = ctx * cty
+    Ha[:, 5, 4] = ctx
+    Ha[:, 5, 5] = -stx * cty
+    return np.linalg.solve(Ha, X[..., None])[..., 0]
 
 
 @dataclasses.dataclass
@@ -295,6 +302,9 @@ class LumParams:
     # solver: dense f64 Cholesky below this many scans, block-Jacobi CG
     # (pgsolve.solve_block_cg, O(L) memory) above
     dense_solver_max_scans: int = 65
+    # multi-device: "auto" shards the link loop over all local devices
+    # (parallel.lum_shard) when more than one is present; None disables
+    mesh: object = "auto"
 
 
 def _solve_GX_B(
@@ -360,34 +370,61 @@ def do_graph_slam(
         if bcap <= params.grid_max_cap:
             grid_buckets, grid_cap = H, bcap
 
+    mesh = None
+    if params.mesh == "auto":
+        from ..parallel.mesh import default_points_mesh
+
+        mesh = default_points_mesh()
+    elif params.mesh:
+        mesh = params.mesh
+
+    from ..utils.metrics import metrics
+
     ret = np.inf
     it = 0
     while it < params.iterations and ret > params.epsilon:
         mats = np.stack([s.transMat for s in scans]).astype(np.float32)
         points_g = jax.vmap(math3d.transform3)(jnp.asarray(mats), locals_j)
-        if grid_buckets:
-            C, CD, m, overflow = link_covariances_grid(
-                points_g, masks_j, links_j,
-                jnp.float32(params.max_dist_match2),
-                n_buckets=grid_buckets, bucket_cap=grid_cap,
-                chunk=params.link_chunk,
-            )
-            if bool(overflow):  # exactness guard: redo with brute
+        with metrics.time("lum_cov_time"):
+            if mesh is not None:
+                # links data-parallel over the device mesh (SURVEY §2.8.2)
+                from ..parallel import lum_shard
+
+                C, CD, m, overflow = lum_shard.link_covariances_sharded(
+                    mesh, points_g, masks_j, links,
+                    params.max_dist_match2, chunk=params.link_chunk,
+                    n_buckets=grid_buckets, bucket_cap=grid_cap,
+                )
+                if overflow:  # exactness guard: redo with brute
+                    C, CD, m, _ = lum_shard.link_covariances_sharded(
+                        mesh, points_g, masks_j, links,
+                        params.max_dist_match2, chunk=params.link_chunk,
+                    )
+            elif grid_buckets:
+                C, CD, m, overflow = link_covariances_grid(
+                    points_g, masks_j, links_j,
+                    jnp.float32(params.max_dist_match2),
+                    n_buckets=grid_buckets, bucket_cap=grid_cap,
+                    chunk=params.link_chunk,
+                )
+                if bool(overflow):  # exactness guard: redo with brute
+                    C, CD, m = link_covariances(
+                        points_g, masks_j, links_j,
+                        jnp.float32(params.max_dist_match2),
+                        chunk=params.link_chunk,
+                    )
+            else:
                 C, CD, m = link_covariances(
                     points_g, masks_j, links_j,
                     jnp.float32(params.max_dist_match2),
                     chunk=params.link_chunk,
                 )
-        else:
-            C, CD, m = link_covariances(
-                points_g, masks_j, links_j,
-                jnp.float32(params.max_dist_match2),
-                chunk=params.link_chunk,
+            C, CD, m = np.asarray(C), np.asarray(CD), np.asarray(m)
+        with metrics.time("lum_solve_time"):
+            X = _solve_GX_B(
+                len(scans), links, np.asarray(C), np.asarray(CD),
+                params.dense_solver_max_scans,
             )
-        X = _solve_GX_B(
-            len(scans), links, np.asarray(C), np.asarray(CD),
-            params.dense_solver_max_scans,
-        )
         pos = np.stack([s.rPos for s in scans[1:]])
         theta = np.stack([s.rPosTheta for s in scans[1:]])
         result = np.asarray(

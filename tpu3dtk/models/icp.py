@@ -57,7 +57,7 @@ class IcpResult(NamedTuple):
 def _find_pairs(
     model, mmask, tgt_global, tmask, max_dist2, pairing="closest_point",
     tgt_normals=None, grid=None,
-):
+):  # noqa: D401 — see docstring below
     """Correspondence search for one iteration: returns matched model
     points [N,3] (projected per pairing mode) and the accept mask [N].
 
@@ -94,27 +94,16 @@ def _find_pairs(
 
 def _pair_statistics(
     model, mmask, tgt_global, tmask, max_dist2, pairing="closest_point",
-    tgt_normals=None, grid=None,
+    tgt_normals=None, grid=None, axis_name=None,
 ):
     m_pts, found = _find_pairs(
         model, mmask, tgt_global, tmask, max_dist2,
         pairing=pairing, tgt_normals=tgt_normals, grid=grid,
     )
-    return mz.pair_stats(m_pts, tgt_global, found)
+    return mz.pair_stats(m_pts, tgt_global, found, axis_name=axis_name)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "max_iterations",
-        "minimizer",
-        "subsample",
-        "pairing",
-        "grid_buckets",
-        "grid_bucket_cap",
-    ),
-)
-def icp_pair(
+def _icp_pair_impl(
     model,
     mmask,
     target_local,
@@ -131,8 +120,14 @@ def icp_pair(
     target_normals_local=None,
     grid_buckets: int = 0,
     grid_bucket_cap: int = 0,
+    axis_name: str | None = None,
 ) -> IcpResult:
     """Match one target scan against fixed model points.
+
+    ``axis_name``: when traced inside shard_map with the target points
+    sharded over a mesh axis (model replicated), pair statistics are
+    psum-merged over it each iteration — the multi-device parallel ICP
+    (see parallel.icp_shard.icp_pair_sharded).
 
     model: [M,3] f32 model points in global frame; target_local: [N,3]
     f32 target points in the target's **local** frame; T0: [4,4] initial
@@ -200,7 +195,9 @@ def icp_pair(
                 jnp.float32(max_dist_match2),
                 pairing=pairing, tgt_normals=normals_g, grid=grid,
             )
-            nstats = mz.napx_stats(m_pts, tgt_global, normals_g, found)
+            nstats = mz.napx_stats(
+                m_pts, tgt_global, normals_g, found, axis_name=axis_name
+            )
             enough = nstats.n > 3
             align, err = align_fn(nstats)
             npairs = nstats.n
@@ -209,6 +206,7 @@ def icp_pair(
                 model, mmask, tgt_global, it_mask,
                 jnp.float32(max_dist_match2),
                 pairing=pairing, tgt_normals=normals_g, grid=grid,
+                axis_name=axis_name,
             )
             enough = stats.n > 3
             if minimizer in ("lumeuler", "lumquat"):
@@ -239,6 +237,21 @@ def icp_pair(
     )
     T, ret, prev, prev2, it, done, npairs = jax.lax.while_loop(cond, body, init)
     return IcpResult(T=T, error=ret, iterations=it, n_pairs=npairs)
+
+
+icp_pair = jax.jit(
+    _icp_pair_impl,
+    static_argnames=(
+        "max_iterations",
+        "minimizer",
+        "subsample",
+        "pairing",
+        "grid_buckets",
+        "grid_bucket_cap",
+        "axis_name",
+    ),
+)
+icp_pair.__doc__ = _icp_pair_impl.__doc__
 
 
 @functools.partial(jax.jit, static_argnames=("minimizer",))

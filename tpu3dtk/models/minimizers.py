@@ -96,29 +96,37 @@ class PairStats(NamedTuple):
         return self.Smm + self.n * jnp.outer(self.centroid_m, self.centroid_m)
 
 
-def pair_stats(m, d, w, accum_dtype=jnp.float32) -> PairStats:
+def pair_stats(m, d, w, accum_dtype=jnp.float32, axis_name=None) -> PairStats:
     """Reduce matched pairs to sufficient statistics.
 
     m, d: [N,3] model/data points; w: [N] 0/1 (or soft) weights.
     Centered accumulation (two-pass) keeps f32 sums well-conditioned on
     TPU where f64 is emulated; the reference uses raw-product sums in f64
     (icp6Dquat.cc:55-98) — mathematically identical.
+
+    ``axis_name``: when inside shard_map with pairs sharded over a mesh
+    axis, pass its name — first moments psum before centering, second
+    moments psum after, the Langis partial-sum merge over ICI
+    (icp6D.cc:144-191, icp6Dminimizer.h:61-82 Align_Parallel).
     """
+    def _merge(v):
+        return jax.lax.psum(v, axis_name) if axis_name else v
+
     w = w.astype(accum_dtype)
     m = m.astype(accum_dtype)
     d = d.astype(accum_dtype)
-    n = jnp.sum(w)
+    n = _merge(jnp.sum(w))
     ns = jnp.maximum(n, 1.0)
-    cm = jnp.sum(w[:, None] * m, axis=0) / ns
-    cd = jnp.sum(w[:, None] * d, axis=0) / ns
+    cm = _merge(jnp.sum(w[:, None] * m, axis=0)) / ns
+    cd = _merge(jnp.sum(w[:, None] * d, axis=0)) / ns
     dm = m - cm
     dd = d - cd
     wdd = w[:, None] * dd
-    S = jnp.einsum("ni,nj->ij", wdd, dm)
-    Sdd = jnp.einsum("ni,nj->ij", wdd, dd)
-    Smm = jnp.einsum("ni,nj->ij", w[:, None] * dm, dm)
+    S = _merge(jnp.einsum("ni,nj->ij", wdd, dm))
+    Sdd = _merge(jnp.einsum("ni,nj->ij", wdd, dd))
+    Smm = _merge(jnp.einsum("ni,nj->ij", w[:, None] * dm, dm))
     diff = m - d
-    sum_d2 = jnp.sum(w * jnp.sum(diff * diff, axis=1))
+    sum_d2 = _merge(jnp.sum(w * jnp.sum(diff * diff, axis=1)))
     return PairStats(
         n=n, centroid_m=cm, centroid_d=cd, S=S, Sdd=Sdd, Smm=Smm, sum_d2=sum_d2
     )
@@ -581,26 +589,30 @@ class NapxStats(NamedTuple):
     sum_d2: jnp.ndarray  # Σ d² (point-to-plane RMS)
 
 
-def napx_stats(m, t, normals, w, accum_dtype=jnp.float32) -> NapxStats:
+def napx_stats(m, t, normals, w, accum_dtype=jnp.float32, axis_name=None) -> NapxStats:
     """Reduce matched pairs + target normals to NapxStats.
 
     m: [N,3] matched model points, t: [N,3] target points (data),
     normals: [N,3] unit normals at the target points, w: [N] weights.
+    ``axis_name``: psum-merge partials over a mesh axis (see pair_stats).
     """
+    def _merge(v):
+        return jax.lax.psum(v, axis_name) if axis_name else v
+
     w = w.astype(accum_dtype)
     m = m.astype(accum_dtype)
     t = t.astype(accum_dtype)
     nrm = normals.astype(accum_dtype)
-    n = jnp.sum(w)
+    n = _merge(jnp.sum(w))
     ns = jnp.maximum(n, 1.0)
-    cd = jnp.sum(w[:, None] * t, axis=0) / ns
+    cd = _merge(jnp.sum(w[:, None] * t, axis=0)) / ns
     d = jnp.sum((m - t) * nrm, axis=1)
     c = jnp.cross(t - cd, nrm)
     J = jnp.concatenate([c, nrm], axis=1)  # [N,6]
     wJ = w[:, None] * J
-    A = jnp.einsum("ni,nj->ij", wJ, J)
-    b = jnp.sum(wJ * d[:, None], axis=0)
-    sum_d2 = jnp.sum(w * d * d)
+    A = _merge(jnp.einsum("ni,nj->ij", wJ, J))
+    b = _merge(jnp.sum(wJ * d[:, None], axis=0))
+    sum_d2 = _merge(jnp.sum(w * d * d))
     return NapxStats(n=n, A=A, b=b, centroid_d=cd, sum_d2=sum_d2)
 
 

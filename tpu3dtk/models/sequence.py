@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import numpy as np
 
 from ..core import math3d
@@ -54,6 +55,18 @@ class SequenceRegistration:
     nns: str = "auto"
     grid_min_model: int = 4096  # auto threshold: grid above this M
     grid_max_cap: int = 768  # fall back to brute beyond this occupancy
+    # Multi-device: "auto" shards target points over all local devices
+    # (psum-merged pair stats, parallel.icp_shard) whenever more than
+    # one device is present; None forces single-device jit.  A
+    # jax.sharding.Mesh may be passed explicitly.
+    mesh: object = "auto"
+
+    def _resolve_mesh(self):
+        if self.mesh == "auto":
+            from ..parallel.mesh import default_points_mesh
+
+            return default_points_mesh()
+        return self.mesh or None
 
     def run(self, scans: list[TPUScan]) -> list[dict]:
         """Register scans sequentially.  Mutates scan poses and frames.
@@ -71,9 +84,11 @@ class SequenceRegistration:
         match event appends a frame to every scan (ICP for current,
         ICPINACTIVE for already-registered, INVALID for future scans).
         """
-        cap = _round_up(
-            max(len(s.reduced_local()) for s in scans), self.pad_multiple
-        )
+        mesh = self._resolve_mesh()
+        pad_to = self.pad_multiple
+        if mesh is not None:
+            pad_to = _round_up(pad_to, mesh.devices.size)
+        cap = _round_up(max(len(s.reduced_local()) for s in scans), pad_to)
         cur = scans[i]
         prev = scans[i - 1]
         if self.extrapolate_odometry:
@@ -123,12 +138,7 @@ class SequenceRegistration:
             )
             if bcap <= self.grid_max_cap:
                 grid_buckets, grid_cap = H, bcap
-        res = icp_mod.icp_pair(
-            model_pts,
-            model_mask,
-            tgt_pts,
-            tgt_mask,
-            cur.transMat.astype(np.float32),
+        kwargs = dict(
             max_dist_match2=self.params.max_dist_match2,
             epsilon=self.params.epsilon,
             max_iterations=self.params.max_iterations,
@@ -140,6 +150,21 @@ class SequenceRegistration:
             grid_buckets=grid_buckets,
             grid_bucket_cap=grid_cap,
         )
+        T0 = cur.transMat.astype(np.float32)
+        from ..utils.metrics import MATCHING, metrics
+
+        with metrics.time(MATCHING):
+            if mesh is not None:
+                from ..parallel import icp_shard
+
+                res = icp_shard.icp_pair_sharded(
+                    mesh, model_pts, model_mask, tgt_pts, tgt_mask, T0, **kwargs
+                )
+            else:
+                res = icp_mod.icp_pair(
+                    model_pts, model_mask, tgt_pts, tgt_mask, T0, **kwargs
+                )
+            res = icp_mod.IcpResult(*jax.tree_util.tree_map(np.asarray, res))
         T_new = np.asarray(res.T, dtype=np.float64)
         # orthonormalize the accumulated f32 rotation before storing
         R = T_new[:3, :3]

@@ -78,62 +78,94 @@ def icp_pair_sharded(
     epsilon: float = 1e-5,
     max_iterations: int = 50,
     minimizer: str = "quat",
+    subsample: int = 1,
+    seed: int = 0,
+    pairing: str = "closest_point",
+    target_normals_local=None,
+    grid_buckets: int = 0,
+    grid_bucket_cap: int = 0,
     axis: str = "points",
 ) -> IcpResult:
-    """Sharded equivalent of models.icp.icp_pair.
+    """Sharded equivalent of models.icp.icp_pair, same feature surface
+    (all minimizers, pairing modes, subsampling, hashed cell-list NN).
 
-    model/mmask replicated; target_local/tmask sharded on ``axis``.
+    model/mmask replicated; target_local/tmask (and normals) sharded on
+    ``axis``.  The full while_loop runs inside one shard_map — pair
+    statistics psum every iteration, no host round-trips; every device
+    ends with the identical pose.  Target length must divide the axis
+    size (pad first).
     """
-    align_fn = mz.MINIMIZERS[minimizer]
-    eps = jnp.float32(epsilon)
-    md2 = jnp.float32(max_dist_match2)
-
-    def shard_fn(model, mmask, tgt, tmsk, T0):
-        def cond(carry):
-            T, ret, prev, prev2, it, done, npairs = carry
-            return (~done) & (it < max_iterations)
-
-        def body(carry):
-            T, ret, prev, prev2, it, done, _ = carry
-            tgt_global = math3d.transform3(T, tgt).astype(jnp.float32)
-            stats = _global_stats(model, mmask, tgt_global, tmsk, md2, axis)
-            enough = stats.n > 3
-            align, err = align_fn(stats)
-            align = jnp.where(enough, align, jnp.eye(4, dtype=jnp.float32))
-            T_new = align @ T
-            ret_new = jnp.where(enough, err, ret)
-            conv = (jnp.abs(ret_new - ret) < eps) & (jnp.abs(ret_new - prev) < eps)
-            return (T_new, ret_new, ret, prev, it + 1, conv | ~enough, stats.n)
-
-        init = (
-            T0.astype(jnp.float32),
-            jnp.float32(0.0),
-            jnp.float32(0.0),
-            jnp.float32(0.0),
-            jnp.int32(0),
-            jnp.bool_(False),
-            jnp.float32(0.0),
-        )
-        T, ret, prev, prev2, it, done, npairs = jax.lax.while_loop(
-            cond, body, init
-        )
-        return T, ret, it, npairs
-
-    fn = shard_map(
-        shard_fn,
-        mesh=mesh,
-        in_specs=(P(), P(), P(axis, None), P(axis), P()),
-        out_specs=(P(), P(), P(), P()),
-        check_vma=False,
+    have_normals = target_normals_local is not None
+    fn = _sharded_icp_fn(
+        mesh,
+        axis,
+        float(max_dist_match2),
+        float(epsilon),
+        int(max_iterations),
+        minimizer,
+        int(subsample),
+        int(seed),
+        pairing,
+        have_normals,
+        int(grid_buckets),
+        int(grid_bucket_cap),
     )
-    T, ret, it, npairs = jax.jit(fn)(
+    if not have_normals:
+        # dummy sharded arg keeps one code path
+        target_normals_local = jnp.zeros_like(jnp.asarray(target_local))
+    return fn(
         jnp.asarray(model, jnp.float32),
         jnp.asarray(mmask),
         jnp.asarray(target_local, jnp.float32),
         jnp.asarray(tmask),
         jnp.asarray(T0, jnp.float32),
+        jnp.asarray(target_normals_local, jnp.float32),
     )
-    return IcpResult(T=T, error=ret, iterations=it, n_pairs=npairs)
+
+
+@functools.lru_cache(maxsize=64)
+def _sharded_icp_fn(
+    mesh,
+    axis,
+    max_dist_match2,
+    epsilon,
+    max_iterations,
+    minimizer,
+    subsample,
+    seed,
+    pairing,
+    have_normals,
+    grid_buckets,
+    grid_bucket_cap,
+):
+    """Build + cache the jitted shard_map ICP for one static config, so
+    repeated matches reuse the XLA compile cache."""
+    from ..models.icp import _icp_pair_impl
+
+    def shard_fn(model, mmask, tgt, tmsk, T0, normals):
+        return _icp_pair_impl(
+            model, mmask, tgt, tmsk, T0,
+            max_dist_match2=max_dist_match2,
+            epsilon=epsilon,
+            max_iterations=max_iterations,
+            minimizer=minimizer,
+            subsample=subsample,
+            seed=seed,
+            pairing=pairing,
+            target_normals_local=normals if have_normals else None,
+            grid_buckets=grid_buckets,
+            grid_bucket_cap=grid_bucket_cap,
+            axis_name=axis,
+        )
+
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis, None), P(axis), P(), P(axis, None)),
+        out_specs=IcpResult(T=P(), error=P(), iterations=P(), n_pairs=P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
 
 
 def icp_step_batch_sharded(

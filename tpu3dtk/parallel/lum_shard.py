@@ -13,6 +13,8 @@ hannover2-class workloads (the BASELINE north-star's allreduce plan).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -32,12 +34,20 @@ def link_covariances_sharded(
     max_dist2: float,
     axis: str = "points",
     chunk: int = 4,
+    n_buckets: int = 0,
+    bucket_cap: int = 0,
 ):
-    """Batched (C, CD, m) for all links, links sharded over ``axis``.
+    """Batched (C, CD, m, overflow) for all links, links sharded over
+    ``axis``.
 
     points_g: [S, N, 3] replicated; links: [L, 2] (L padded to the axis
     size internally; padding links are (0, 0) and their outputs are
-    dropped).  Returns numpy (C [L,6,6], CD [L,6], m [L]).
+    dropped).  n_buckets/bucket_cap > 0 routes the per-link NN through
+    per-scan hashed cell lists (models.graphslam.link_covariances_grid
+    semantics — each device builds the hashes over the replicated point
+    tensor once per call); overflow=True means a bucket exceeded
+    bucket_cap and the caller must redo with brute.  Returns numpy
+    (C [L,6,6], CD [L,6], m [L], overflow bool).
     """
     n_dev = mesh.devices.size
     L = len(links)
@@ -45,26 +55,70 @@ def link_covariances_sharded(
     links_p = np.zeros((Lpad, 2), np.int32)
     links_p[:L] = np.asarray(links, np.int32)
 
-    md2 = jnp.float32(max_dist2)
+    fn = _sharded_links_fn(
+        mesh, axis, int(chunk), int(n_buckets), int(bucket_cap)
+    )
+    C, CD, m, overflow = fn(
+        jnp.asarray(points_g, jnp.float32),
+        jnp.asarray(masks),
+        jnp.asarray(links_p),
+        jnp.float32(max_dist2),
+    )
+    return (
+        np.asarray(C)[:L],
+        np.asarray(CD)[:L],
+        np.asarray(m)[:L],
+        bool(overflow),
+    )
 
-    def shard_fn(pts, msk, lnk):
+
+@functools.lru_cache(maxsize=32)
+def _sharded_links_fn(mesh, axis, chunk, n_buckets, bucket_cap):
+    from ..ops import nn as nn_ops
+
+    def shard_fn(pts, msk, lnk, md2):
+        if n_buckets > 0:
+            cell = jnp.sqrt(md2)
+            inf3 = jnp.full((3,), jnp.float32(jnp.inf))
+
+            def build_one(p, m):
+                origin = jnp.min(jnp.where(m[:, None], p, inf3), axis=0)
+                origin = jnp.where(jnp.isfinite(origin), origin, 0.0)
+                return nn_ops.build_cell_hash(p, m, origin, cell, n_buckets)
+
+            grids = jax.vmap(build_one)(pts, msk)
+            occ = grids.bucket_start[:, 1:] - grids.bucket_start[:, :-1]
+            overflow = jnp.max(occ) > bucket_cap
+        else:
+            grids = None
+            overflow = jnp.bool_(False)
+
         def one(link):
+            i, j = link[0], link[1]
+            grid = None
+            if grids is not None:
+                g = nn_ops.CellHash(
+                    points=grids.points[i],
+                    src_idx=grids.src_idx[i],
+                    bucket_start=grids.bucket_start[i],
+                    origin=grids.origin[i],
+                    cell=grids.cell[i],
+                )
+                grid = (g, bucket_cap)
             return _one_link_stats(
-                pts[link[0]], msk[link[0]], pts[link[1]], msk[link[1]], md2
+                pts[i], msk[i], pts[j], msk[j], md2, grid=grid
             )
 
-        return jax.lax.map(one, lnk, batch_size=min(chunk, max(1, lnk.shape[0])))
+        C, CD, m = jax.lax.map(
+            one, lnk, batch_size=min(chunk, max(1, lnk.shape[0]))
+        )
+        return C, CD, m, overflow
 
     fn = shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(), P(), P(axis, None)),
-        out_specs=(P(axis, None, None), P(axis, None), P(axis)),
+        in_specs=(P(), P(), P(axis, None), P()),
+        out_specs=(P(axis, None, None), P(axis, None), P(axis), P()),
         check_vma=False,
     )
-    C, CD, m = jax.jit(fn)(
-        jnp.asarray(points_g, jnp.float32),
-        jnp.asarray(masks),
-        jnp.asarray(links_p),
-    )
-    return np.asarray(C)[:L], np.asarray(CD)[:L], np.asarray(m)[:L]
+    return jax.jit(fn)

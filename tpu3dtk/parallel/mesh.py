@@ -17,7 +17,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "P", "NamedSharding", "Mesh"]
+__all__ = ["make_mesh", "default_points_mesh", "P", "NamedSharding", "Mesh"]
 
 
 def make_mesh(
@@ -38,3 +38,19 @@ def make_mesh(
         shape = (len(devs),) + (1,) * (len(axes) - 1)
     arr = np.array(devs).reshape(shape)
     return Mesh(arr, axes)
+
+
+_DEFAULT_MESH: list = []
+
+
+def default_points_mesh() -> Mesh | None:
+    """The mesh drivers pick up automatically: a 1-D ``points`` mesh over
+    all local devices when more than one is present, else None (single
+    chip — plain jit is faster than a 1-device shard_map).  Cached; the
+    device set is fixed per process."""
+    if not _DEFAULT_MESH:
+        devs = jax.devices()
+        _DEFAULT_MESH.append(
+            make_mesh(axes=("points",)) if len(devs) > 1 else None
+        )
+    return _DEFAULT_MESH[0]
