@@ -235,6 +235,16 @@ register(
         binary="las",
     )
 )
+# ref scan_io_velodyne.cc:48-54,319-460: raw HDL-64 packet captures,
+# scanNNN.bin; decode in io/velodyne.py (vectorized)
+register(
+    FormatSpec(
+        "velodyne",
+        (XYZ, REFLECTANCE),
+        data_suffix=".bin",
+        binary="velodyne",
+    )
+)
 
 
 def get_format(name: str) -> FormatSpec:

@@ -30,8 +30,11 @@ _RGB_OFFSET = {2: 20, 3: 28, 5: 28, 7: 30, 8: 30, 10: 30}
 def read_las(path: str) -> dict[str, np.ndarray]:
     """Read one .las file -> {"xyz": [N,3] f64, "reflectance": [N] f32,
     optionally "rgb": [N,3] u8}.  Intensity maps to the reflectance
-    channel (the reference routes LAS intensity there too)."""
-    with open(path, "rb") as f:
+    channel (the reference routes LAS intensity there too).  Reads
+    through the zip-transparent VFS (io/vfs.py)."""
+    from .vfs import vopen
+
+    with vopen(path, "rb") as f:
         header = f.read(375)
         if header[:4] != b"LASF":
             raise ValueError(f"{path}: not a LAS file (bad magic {header[:4]!r})")

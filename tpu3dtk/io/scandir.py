@@ -17,6 +17,7 @@ from typing import Iterator
 import numpy as np
 
 from .formats import FormatSpec, get_format, parse_scan_text
+from .vfs import split_zip, vexists, vlistdir, vopen
 
 __all__ = ["PointFilter", "RawScan", "read_scan_dir", "read_pose_file", "list_identifiers"]
 
@@ -71,7 +72,8 @@ class RawScan:
 def read_pose_file(path: str) -> tuple[np.ndarray, np.ndarray]:
     """Read a .pose file: line1 = x y z (cm), line2 = θx θy θz (degrees).
     Returns (pos, theta_radians).  Ref: scanio helper readPose."""
-    vals = np.loadtxt(path, dtype=np.float64).reshape(-1)
+    with vopen(path, "rb") as f:
+        vals = np.loadtxt(f, dtype=np.float64).reshape(-1)
     if vals.size < 6:
         raise ValueError(f"pose file {path} has {vals.size} < 6 values")
     pos = vals[:3]
@@ -90,7 +92,7 @@ def list_identifiers(directory: str, spec: FormatSpec, start: int = 0, end: int 
         for s in suffixes
     ]
     ids: set[str] = set()
-    for fn in sorted(os.listdir(directory)):
+    for fn in vlistdir(directory):
         for pat in pats:
             m = pat.match(fn)
             if m:
@@ -107,11 +109,13 @@ def _load_data_file(path: str, spec: FormatSpec) -> np.ndarray:
     native C++ parser (tpu3dtk.native) handles files numpy rejects
     (ragged rows, stray tokens)."""
     try:
-        with open(path, "rb") as f:
+        with vopen(path, "rb") as f:
             for _ in range(spec.skip_header_lines):
                 f.readline()
             return np.loadtxt(f, dtype=np.float64, ndmin=2)
     except ValueError:
+        if split_zip(path) is not None:
+            raise  # native parser wants a real file path
         from .. import native
 
         data = native.parse_table(path, spec.skip_header_lines)
@@ -126,7 +130,8 @@ def _read_pose_riegl(path: str) -> tuple[np.ndarray, np.ndarray]:
     matrix exactly as scan_io_riegl_txt.cc:73-98."""
     from ..core import math3d
 
-    m = np.loadtxt(path, dtype=np.float64).reshape(-1)
+    with vopen(path, "rb") as f:
+        m = np.loadtxt(f, dtype=np.float64).reshape(-1)
     if m.size < 16:
         raise ValueError(f"riegl pose file {path} has {m.size} < 16 values")
     t = np.array(
@@ -166,10 +171,10 @@ def read_scan(
     data_path = os.path.join(
         directory, f"{spec.data_prefix}{identifier}{spec.data_suffix}"
     )
-    if not os.path.exists(data_path):
+    if not vexists(data_path):
         for alt in spec.alt_suffixes:
             cand = os.path.join(directory, f"{spec.data_prefix}{identifier}{alt}")
-            if os.path.exists(cand):
+            if vexists(cand):
                 data_path = cand
                 break
     pose_path = os.path.join(
@@ -180,10 +185,15 @@ def read_scan(
 
         channels = read_las(data_path)
         channels["xyz"] = spec.transform(channels["xyz"])
+    elif spec.binary == "velodyne":
+        from .velodyne import read_velodyne
+
+        channels = read_velodyne(data_path)
+        channels["xyz"] = spec.transform(channels["xyz"])
     else:
         raw = _load_data_file(data_path, spec)
         channels = parse_scan_text(raw, spec)
-    if os.path.exists(pose_path):
+    if vexists(pose_path):
         pos, theta = _POSE_READERS[spec.pose_reader](pose_path)
     else:
         pos = np.zeros(3)
