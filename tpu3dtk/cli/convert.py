@@ -41,7 +41,54 @@ def main(argv=None) -> int:
     s.add_argument("dir_b")
     s.add_argument("--no-align", action="store_true")
 
+    s = sub.add_parser("transformframes", help="left-multiply all frames by a 4x4 (ref transformFrames)")
+    s.add_argument("dir")
+    s.add_argument("matrix_file", help="file with 16 values (row-major 4x4)")
+    s.add_argument("-o", "--out", default=None)
+
+    s = sub.add_parser("multframes", help="re-anchor frames through a global matrix (ref multFrames)")
+    s.add_argument("dir")
+    s.add_argument("matrix_file")
+    s.add_argument("-o", "--out", required=True)
+    s.add_argument("--anchor", type=int, default=0)
+    s.add_argument("--from-pose", action="store_true")
+
+    s = sub.add_parser("average6dofposes", help="average 4x4 matrices from a file (ref average6DoFposes)")
+    s.add_argument("matrix_file")
+
+    s = sub.add_parser("frames2riegl")
+    s.add_argument("dir")
+    s.add_argument("-o", "--out", default=None)
+
+    s = sub.add_parser("riegl2frames")
+    s.add_argument("dir")
+    s.add_argument("-o", "--out", default=None)
+
+    s = sub.add_parser("scandiff", help="points of scan B not explained by scan A (ref scan_diff)")
+    s.add_argument("dir")
+    s.add_argument("-f", "--format", default="uos")
+    s.add_argument("-a", "--id-a", type=int, default=0)
+    s.add_argument("-b", "--id-b", type=int, default=1)
+    s.add_argument("-d", "--dist", type=float, default=50.0)
+    s.add_argument("-o", "--out", default="diff.3d")
+
+    s = sub.add_parser("condense", help="merge groups of scans into metascans (ref condense)")
+    s.add_argument("dir")
+    s.add_argument("-f", "--format", default="uos")
+    s.add_argument("--split", type=int, default=10)
+    s.add_argument("-r", "--reduce", type=float, default=-1.0)
+    s.add_argument("-o", "--out", default=None)
+    s.add_argument("--use-frames", action="store_true")
+
+    s = sub.add_parser("atomize", help="re-split condensed SLAM corrections (ref atomize)")
+    s.add_argument("cond_dir")
+    s.add_argument("orig_dir")
+    s.add_argument("-f", "--format", default="uos")
+    s.add_argument("--split", type=int, default=10)
+
     args = p.parse_args(argv)
+    import numpy as np
+
     from ..io import converters as cv
 
     if args.cmd == "frames2pose":
@@ -58,6 +105,44 @@ def main(argv=None) -> int:
         print(f"trajectory length: {cv.trajectory_length(args.dir):.2f} cm")
     elif args.cmd == "ate":
         print(json.dumps(cv.ate(args.dir_a, args.dir_b, align=not args.no_align)))
+    elif args.cmd == "transformframes":
+        T = np.loadtxt(args.matrix_file).reshape(4, 4)
+        print(f"{cv.transform_frames(args.dir, T, args.out)} frames files transformed")
+    elif args.cmd == "multframes":
+        T = np.loadtxt(args.matrix_file).reshape(4, 4)
+        n = cv.mult_frames(
+            args.dir, T, args.out, anchor=args.anchor, from_pose=args.from_pose
+        )
+        print(f"{n} frames files written -> {args.out}")
+    elif args.cmd == "average6dofposes":
+        mats = np.loadtxt(args.matrix_file).reshape(-1, 4, 4)
+        avg = cv.average_pose_matrices(mats)
+        print("\n".join(" ".join(f"{v:.9f}" for v in row) for row in avg))
+    elif args.cmd == "frames2riegl":
+        print(f"{cv.frames_to_riegl(args.dir, args.out)} .dat files written")
+    elif args.cmd == "riegl2frames":
+        print(f"{cv.riegl_to_frames(args.dir, args.out)} .frames files written")
+    elif args.cmd == "scandiff":
+        diff = cv.scan_diff(args.dir, args.format, args.id_a, args.id_b, args.dist)
+        np.savetxt(args.out, diff, fmt="%.6f")
+        print(f"{len(diff)} difference points -> {args.out}")
+    elif args.cmd == "condense":
+        from ..io.condense import condense
+
+        n = condense(
+            args.dir,
+            args.format,
+            split=args.split,
+            voxel=args.reduce,
+            out_dir=args.out,
+            use_frames=args.use_frames,
+        )
+        print(f"{n} condensed scans written")
+    elif args.cmd == "atomize":
+        from ..io.condense import atomize
+
+        n = atomize(args.cond_dir, args.orig_dir, args.format, split=args.split)
+        print(f"{n} scans atomized")
     return 0
 
 

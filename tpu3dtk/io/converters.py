@@ -28,6 +28,13 @@ __all__ = [
     "frames_to_tum",
     "trajectory_length",
     "ate",
+    "nearest_orthonormal",
+    "average_pose_matrices",
+    "transform_frames",
+    "mult_frames",
+    "frames_to_riegl",
+    "riegl_to_frames",
+    "scan_diff",
 ]
 
 # kitti frame = sign conjugation D·T·D (D = diag(1,-1,1,1)) + cm -> m
@@ -186,3 +193,175 @@ def ate(frames_dir_a: str, frames_dir_b: str, align: bool = True):
         "max": float(err.max()),
         "n": len(common),
     }
+
+
+def nearest_orthonormal(M: np.ndarray) -> np.ndarray:
+    """Nearest rotation matrix to M in Frobenius norm.  The reference
+    computes M·(MᵀM)^(-1/2) via the eigen-decomposition of MᵀM
+    (average6DoFposes.cc:109-150); the polar factor UVᵀ of the SVD is the
+    same matrix, in one primitive."""
+    U, _, Vt = np.linalg.svd(np.asarray(M, np.float64))
+    R = U @ Vt
+    if np.linalg.det(R) < 0:  # keep a proper rotation
+        U[:, -1] = -U[:, -1]
+        R = U @ Vt
+    return R
+
+
+def average_pose_matrices(mats) -> np.ndarray:
+    """Average a set of 4x4 pose matrices: element-wise mean, then project
+    the rotation block onto SO(3) (ref average6DoFposes.cc:95-160)."""
+    A = np.mean([np.asarray(m, np.float64) for m in mats], axis=0)
+    out = np.eye(4)
+    out[:3, :3] = nearest_orthonormal(A[:3, :3])
+    out[:3, 3] = A[:3, 3]
+    return out
+
+
+def _frames_files(directory: str) -> list[str]:
+    return sorted(f for f in os.listdir(directory) if f.endswith(".frames"))
+
+
+def transform_frames(directory: str, T: np.ndarray, out_dir: str | None = None) -> int:
+    """Left-multiply every entry of every .frames file by the fixed 4x4 T
+    (ref transformFrames.cc: applies a global alignment found from point
+    pairs to a registered sequence)."""
+    out_dir = out_dir or directory
+    T = np.asarray(T, np.float64)
+    count = 0
+    for fn in _frames_files(directory):
+        mats, tags = frames_io.read_frames(os.path.join(directory, fn))
+        new = np.einsum("ij,njk->nik", T, mats)
+        frames_io.write_frames(os.path.join(out_dir, fn), new, tags)
+        count += 1
+    return count
+
+
+def mult_frames(
+    directory: str,
+    matrix: np.ndarray,
+    out_dir: str,
+    anchor: int = 0,
+    from_pose: bool = False,
+    prefix: str = "scan",
+) -> int:
+    """Re-anchor a registered sequence: given `matrix` mapping the anchor
+    scan's own frame into a global frame, write new .frames holding
+    matrix · anchor_pose⁻¹ · scan_pose for every scan
+    (ref multFrames.cc:222-280)."""
+    from .scandir import read_pose_file
+
+    def load(ident: str) -> np.ndarray:
+        if from_pose:
+            pos, theta = read_pose_file(
+                os.path.join(directory, f"{prefix}{ident}.pose")
+            )
+            return np.asarray(math3d.euler_to_matrix4(pos, theta))
+        return frames_io.final_pose(
+            os.path.join(directory, f"{prefix}{ident}.frames")
+        )
+
+    suffix = ".pose" if from_pose else ".frames"
+    idents = sorted(
+        fn[len(prefix) : -len(suffix)]
+        for fn in os.listdir(directory)
+        if fn.startswith(prefix) and fn.endswith(suffix)
+    )
+    anchor_T = load(f"{anchor:03d}" if f"{anchor:03d}" in idents else idents[anchor])
+    corr = np.asarray(matrix, np.float64) @ np.asarray(
+        math3d.m4inv(anchor_T), np.float64
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    for ident in idents:
+        T = corr @ load(ident)
+        # reference writeFrames repeats the final matrix 3x with tag 2
+        # (multFrames.cc:200-213) so `show` animates cleanly
+        frames_io.write_frames(
+            os.path.join(out_dir, f"{prefix}{ident}.frames"),
+            np.repeat(T[None], 3, axis=0),
+            np.full(3, 2, np.int64),
+        )
+    return len(idents)
+
+
+def frames_to_riegl(directory: str, out_dir: str | None = None) -> int:
+    """Write RIEGL .dat pose files (row-major 4x4, metres) from the final
+    .frames matrices — the inverse axis remap of the riegl reader
+    (ref frames2riegl.cc + globals.icc:471-494 toRieglMat)."""
+    out_dir = out_dir or directory
+    count = 0
+    for fn in _frames_files(directory):
+        t = np.asarray(math3d.to_colmajor16(frames_io.final_pose(os.path.join(directory, fn))), np.float64)
+        o = np.empty(16)
+        o[5], o[9], o[1], o[13] = t[0], -t[1], -t[2], -t[3]
+        o[6], o[10], o[2], o[14] = -t[4], t[5], t[6], t[7]
+        o[4], o[8], o[0], o[12] = -t[8], t[9], t[10], t[11]
+        o[7], o[11], o[3], o[15] = -t[12], t[13], t[14], t[15]
+        o[[3, 7, 11]] /= 100.0
+        ident = fn[: -len(".frames")]
+        np.savetxt(
+            os.path.join(out_dir, f"{ident}.dat"), o.reshape(4, 4), fmt="%.9f"
+        )
+        count += 1
+    return count
+
+
+def riegl_to_frames(directory: str, out_dir: str | None = None) -> int:
+    """Write one-line .frames from RIEGL .dat pose files (ref
+    riegl2frames.cc)."""
+    from .scandir import _read_pose_riegl
+
+    out_dir = out_dir or directory
+    count = 0
+    for fn in sorted(os.listdir(directory)):
+        if not fn.endswith(".dat"):
+            continue
+        pos, theta = _read_pose_riegl(os.path.join(directory, fn))
+        T = np.asarray(math3d.euler_to_matrix4(pos, theta))
+        ident = fn[: -len(".dat")]
+        frames_io.write_frames(
+            os.path.join(out_dir, f"{ident}.frames"), T[None], np.array([2])
+        )
+        count += 1
+    return count
+
+
+def scan_diff(
+    directory: str,
+    format: str = "uos",
+    id_a: int = 0,
+    id_b: int = 1,
+    max_dist: float = 50.0,
+    use_frames: bool = True,
+) -> np.ndarray:
+    """Points of scan `id_b` (global frame) farther than `max_dist` from
+    every point of scan `id_a` — the change/difference extraction of
+    scan_diff.cc (NN threshold on registered scans).  Returns [K,3]."""
+    from ..ops import nn as nn_ops
+    from .scandir import read_scan
+
+    spec = get_format(format)
+
+    def load(num: int) -> np.ndarray:
+        scan = read_scan(directory, f"{num:03d}", spec)
+        T = None
+        if use_frames:
+            fp = frames_io.frames_path(directory, f"{num:03d}", spec.data_prefix)
+            if os.path.exists(fp):
+                T = frames_io.final_pose(fp)
+        if T is None:
+            T = np.asarray(
+                math3d.euler_to_matrix4(scan.pose_pos, scan.pose_theta)
+            )
+        return np.asarray(math3d.transform3(T, scan.xyz))
+
+    a = load(id_a).astype(np.float32)
+    b = load(id_b).astype(np.float32)
+    _, _, found = nn_ops.nn_brute(
+        b,
+        np.ones(len(b), bool),
+        a,
+        np.ones(len(a), bool),
+        float(max_dist) ** 2,
+    )
+    return b[~np.asarray(found)]
