@@ -1,7 +1,8 @@
-"""``tpuscan_red`` — octree/voxel point reduction & re-export, the
-equivalent of the reference ``scan_red`` tool (src/slam6d/scan_red.cc:
-OCTREE reduction path; RANGE/INTERPOLATE panorama paths are fbr-module
-territory, planned with the panorama module).
+"""``tpuscan_red`` — point reduction & re-export, the equivalent of the
+reference ``scan_red`` tool (src/slam6d/scan_red.cc): OCTREE voxel
+reduction plus the RANGE / INTERPOLATE panorama paths (projection →
+range-image downscale → inverse projection, scan_red.cc:81,201-207)
+through ops/panorama.py's projection zoo.
 
 Example (bremen_city prep, README.md:97-99):
   tpuscan_red -s 0 -e 12 -r OCTREE -v 10 --octree 0 -f xyz dir/
@@ -22,7 +23,14 @@ def main(argv=None) -> int:
     p.add_argument("-s", "--start", type=int, default=0)
     p.add_argument("-e", "--end", type=int, default=-1)
     p.add_argument("-f", "--format", default="uos")
-    p.add_argument("-r", "--reduction", default="OCTREE", choices=["OCTREE"])
+    p.add_argument(
+        "-r", "--reduction", default="OCTREE",
+        choices=["OCTREE", "RANGE", "INTERPOLATE"],
+    )
+    p.add_argument("-p", "--projection", default="equirectangular")
+    p.add_argument("-W", "--width", type=int, default=3600)
+    p.add_argument("-H", "--height", type=int, default=1000)
+    p.add_argument("-y", "--scale", type=float, default=0.5)
     p.add_argument("-v", "--voxel", type=float, default=10.0)
     p.add_argument(
         "--octree", type=int, default=0,
@@ -34,6 +42,7 @@ def main(argv=None) -> int:
 
     from ..io.scandir import PointFilter, read_scan_dir
     from ..io.writer import write_pose, write_uos
+    from ..ops.panorama import PanoramaParams, reduce_interpolate, reduce_range
     from ..ops.reduction import reduce_scan
 
     out_dir = args.out or os.path.join(args.dir, "reduced")
@@ -43,7 +52,17 @@ def main(argv=None) -> int:
     for raw in read_scan_dir(
         args.dir, format=args.format, start=args.start, end=args.end, point_filter=pf
     ):
-        red = reduce_scan(raw.xyz.astype(np.float32), args.voxel, args.octree)
+        if args.reduction == "OCTREE":
+            red = reduce_scan(raw.xyz.astype(np.float32), args.voxel, args.octree)
+        else:
+            pp = PanoramaParams(
+                width=args.width,
+                height=args.height,
+                method=args.projection.lower(),
+                max_range=args.max_range if args.max_range > 0 else None,
+            )
+            fn = reduce_range if args.reduction == "RANGE" else reduce_interpolate
+            red, _ = fn(raw.xyz, pp, scale=args.scale)
         write_uos(os.path.join(out_dir, f"scan{raw.identifier}.3d"), red)
         write_pose(
             os.path.join(out_dir, f"scan{raw.identifier}.pose"),
