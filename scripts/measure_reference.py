@@ -118,8 +118,35 @@ def main():
     links = [(i, i + 1) for i in range(len(scans) - 1)] + [(0, len(scans) - 1)]
     lum_f64(reduced, mats, links, 625.0, iters=50, eps=1e-5)
     dt_ms = (time.perf_counter() - t0) * 1000.0
+
+    # hannover-scale: the full GraphPipeline-equivalent (ICP + ELCH +
+    # LUM, scripts/cpu_pipeline.py) on the synthetic 100-scan circuit —
+    # the same workload bench.py times on TPU
+    from cpu_pipeline import run_cpu_pipeline
+    from make_golden import synth_loop
+
+    locals_, true_mats, odo_mats = synth_loop(n_scans=100)
+    red = []
+    for loc in locals_:
+        s_ = TPUScan.from_points(loc, "x")
+        s_.set_reduction(25.0, 1)
+        red.append(np.asarray(s_.reduced_local(), np.float64))
+    t0 = time.perf_counter()
+    mats_h = run_cpu_pipeline(
+        red, odo_mats,
+        icp_max_dist2=2500.0, icp_iterations=50,
+        lum_max_dist2=2500.0, lum_iterations=10, lum_epsilon=0.1,
+        cldist=700.0, loopsize=10,
+    )
+    hannover_ms = (time.perf_counter() - t0) * 1000.0
+    pos_est = np.stack([m[:3, 3] for m in mats_h])
+    pos_true = np.stack([m[:3, 3] for m in true_mats])
+    hannover_ate = float(np.sqrt(((pos_est - pos_true) ** 2).sum(1).mean()))
+
     out = {
         "dat_matching_ms": round(dt_ms, 1),
+        "hannover_synth_ms": round(hannover_ms, 1),
+        "hannover_synth_ate_rmse_cm": round(hannover_ate, 2),
         "method": (
             "cpu reference-equivalent: scipy cKDTree NN (parallel queries, "
             "all cores) + f64 Horn quat ICP + f64 LUM relaxation"

@@ -36,7 +36,7 @@ def run_dat_pipeline(dat_dir, out_dir):
         s.set_reduction(10.2, 1)
         scans.append(s)
     reg = SequenceRegistration(
-        params=IcpParams(max_dist_match2=625.0, max_iterations=100, epsilon=1e-7),
+        params=IcpParams(max_dist_match2=625.0, max_iterations=50, epsilon=1e-7),
         metascan=True,
     )
     reg.run(scans)

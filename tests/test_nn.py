@@ -198,3 +198,39 @@ def test_cell_hash_occupancy_check(rng):
     occ = int(nn_ops.cell_hash_max_occupancy(grid))
     assert occ <= cap
     assert cap < occ + 16  # spec is tight (rounded to multiple of 8)
+
+
+def test_brute_line_large_extent_precision(rng):
+    """Normal-shoot NN on a large-extent cloud (bremen-scale offsets):
+    the centered expansion + exact winner recompute must rank correctly
+    where the naive |q|²+|m|²−2q·m form loses ~eps·|coord|² (VERDICT r2
+    weak item 6)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpu3dtk.ops import nn as nn_ops
+
+    off = np.array([50000.0, -30000.0, 80000.0], np.float32)
+    model = (rng.normal(0, 10, (500, 3)) + off).astype(np.float32)
+    query = (model[:100] + rng.normal(0, 1, (100, 3))).astype(np.float32)
+    qdir = rng.normal(0, 1, (100, 3))
+    qdir = (qdir / np.linalg.norm(qdir, axis=1, keepdims=True)).astype(
+        np.float32
+    )
+    idx, d2, found = nn_ops.nn_brute_line(
+        jnp.asarray(query), jnp.asarray(qdir), jnp.ones(100, bool),
+        jnp.asarray(model), jnp.ones(500, bool), jnp.float32(625.0),
+    )
+    # f64 oracle
+    q64, m64, dir64 = query.astype(np.float64), model.astype(np.float64), qdir.astype(np.float64)
+    diff = m64[None, :, :] - q64[:, None, :]
+    proj = np.einsum("qmk,qk->qm", diff, dir64)
+    d2_all = np.sum(diff * diff, axis=-1) - proj * proj
+    want = d2_all.argmin(axis=1)
+    got = np.asarray(idx)
+    # allow ties within float noise
+    assert np.all(
+        np.abs(d2_all[np.arange(100), got] - d2_all[np.arange(100), want])
+        < 1e-3
+    )
+    assert np.all(np.asarray(d2) >= -1e-3)

@@ -101,8 +101,14 @@ def _one_link_stats(
         idx, d2, found = nn_ops.nn_brute(
             tgt_g, tmask, model_g, mmask, max_dist2
         )
-    a = model_g[idx]
-    b = tgt_g
+    return lum_pair_stats(model_g[idx], tgt_g, found)
+
+
+def lum_pair_stats(a, b, found):
+    """The LUM link covariance math from matched global-frame pairs:
+    C (6,6), CD (6,), m — the MZ/MM sums, D solve and residual variance
+    of covarianceEuler (lum6Deuler.cc:141-232).  a: matched model
+    points [N,3]; b: target points [N,3]; found: accept mask [N]."""
     w = found.astype(jnp.float32)
     m = jnp.sum(w)
 
@@ -297,14 +303,32 @@ class LumParams:
     # NN engine: "auto" = hashed cell list for large scans, brute
     # otherwise (mirrors SequenceRegistration.nns)
     nns: str = "auto"
-    grid_min_points: int = 4096
+    grid_min_points: int = 131072  # per-scan points; below this the MXU
+    # brute kernel wins (see sequence.grid_min_model)
     grid_max_cap: int = 768
-    # solver: dense f64 Cholesky below this many scans, block-Jacobi CG
-    # (pgsolve.solve_block_cg, O(L) memory) above
+    # host-path solver split: dense f64 Cholesky below this many scans,
+    # block-Jacobi CG (pgsolve.solve_block_cg, O(L) memory) above
     dense_solver_max_scans: int = 65
+    # on-device path (models.lum_device): whole relaxation in ONE jitted
+    # while_loop with a dense f32 Jacobi-scaled solve; used up to this
+    # many scans (6*511 = 3066-dim system — trivial for the MXU), above
+    # which the host loop + block-CG takes over
+    device_max_scans: int = 512
     # multi-device: "auto" shards the link loop over all local devices
     # (parallel.lum_shard) when more than one is present; None disables
     mesh: object = "auto"
+    # --- shape bucketing (SURVEY §7 hard-part 3) -----------------------
+    # Callers that invoke LUM repeatedly over growing prefixes
+    # (GraphPipeline) pin these so every call reuses ONE compiled
+    # executable: scan_cap pads S, point_cap pads N, link_cap_min seeds
+    # the power-of-two link bucket, grid pins the (n_buckets,
+    # bucket_cap) hash spec, device_points carries the pre-uploaded
+    # [S, N, 3] / [S, N] device tensors.
+    scan_cap: int | None = None
+    point_cap: int | None = None
+    link_cap_min: int = 8
+    grid: tuple | None = None
+    device_points: tuple | None = None
 
 
 def _solve_GX_B(
@@ -330,45 +354,198 @@ def _solve_GX_B(
     return pgsolve.solve_block_cg(links, C, B, n)
 
 
-def do_graph_slam(
-    scans: list[TPUScan], links: np.ndarray, params: LumParams
-) -> float:
-    """Run LUM iterations until mean pose shift < epsilon
-    (doGraphSlam6D, lum6Deuler.cc:314-477).  Mutates scan poses; writes
-    LUM-tagged frames.  Returns final mean position shift."""
-    if len(scans) < 2 or len(links) == 0:
-        return 0.0
-    cap = max(len(s.reduced_local()) for s in scans)
-    cap = ((cap + params.pad_multiple - 1) // params.pad_multiple) * params.pad_multiple
+def local_grid_spec(
+    scans: list[TPUScan], max_dist: float, grid_max_cap: int,
+    headroom: float = 1.5,
+) -> tuple[int, int]:
+    """One (n_buckets, bucket_cap) hash spec serving a whole sequence:
+    sized from each scan's LOCAL reduced points — cell occupancy is
+    density-driven and rigid transforms preserve density, so the spec
+    holds at any pose (the device overflow flag guards exactness).
+    Returns (0, 0) if the densest bucket exceeds grid_max_cap."""
+    H = 0
+    cap = 0
+    for s in scans:
+        r = np.asarray(s.reduced_local(), np.float32)
+        Hs, bc = nn_ops.cell_hash_spec(r, np.ones(len(r), bool), max_dist)
+        H = max(H, Hs)
+        cap = max(cap, bc)
+    cap = ((int(cap * headroom) + 7) // 8) * 8
+    return (H, cap) if cap <= grid_max_cap else (0, 0)
+
+
+def _pad_scan_points(scans, cap):
     locals_pad = np.zeros((len(scans), cap, 3), np.float32)
     masks = np.zeros((len(scans), cap), bool)
     for si, s in enumerate(scans):
         r = s.reduced_local()
         locals_pad[si, : len(r)] = r
         masks[si, : len(r)] = True
+    return locals_pad, masks
+
+
+def _link_bucket(n: int, lo: int) -> int:
+    cap = lo
+    while cap < n:
+        cap *= 2
+    return cap
+
+
+def do_graph_slam(
+    scans: list[TPUScan], links: np.ndarray, params: LumParams
+) -> float:
+    """Run LUM iterations until mean pose shift < epsilon
+    (doGraphSlam6D, lum6Deuler.cc:314-477).  Mutates scan poses; writes
+    LUM-tagged frames (one per iteration, scan.cc:918-1009).  Returns
+    final mean position shift.
+
+    Dispatch: up to ``device_max_scans`` the whole relaxation runs on
+    device in one jitted while_loop (models.lum_device.lum_run — the
+    reference's zero-dispatch in-process loop re-expressed for XLA);
+    larger graphs take the host loop with the block-CG solver."""
+    if len(scans) < 2 or len(links) == 0:
+        return 0.0
+    if len(scans) > params.device_max_scans:
+        return _do_graph_slam_host(scans, links, params)
+
+    from .lum_device import lum_run
+
+    S = params.scan_cap or len(scans)
+    n_real = len(scans)
+    if params.device_points is not None:
+        locals_j, masks_j = params.device_points
+        cap = locals_j.shape[1]
+    else:
+        cap = params.point_cap or max(len(s.reduced_local()) for s in scans)
+        cap = (
+            (cap + params.pad_multiple - 1) // params.pad_multiple
+        ) * params.pad_multiple
+        locals_pad, masks = _pad_scan_points(scans, cap)
+        if S > n_real:
+            pad = np.zeros((S - n_real, cap, 3), np.float32)
+            locals_pad = np.concatenate([locals_pad, pad])
+            masks = np.concatenate([masks, np.zeros((S - n_real, cap), bool)])
+        locals_j = jnp.asarray(locals_pad)
+        masks_j = jnp.asarray(masks)
+
+    L = _link_bucket(len(links), params.link_cap_min)
+    links_pad = np.zeros((L, 2), np.int32)
+    links_pad[: len(links)] = np.asarray(links, np.int32)
+    link_mask = np.zeros(L, bool)
+    link_mask[: len(links)] = True
+
+    if params.grid is not None:
+        grid_buckets, grid_cap = params.grid
+    else:
+        use_grid = params.nns == "grid" or (
+            params.nns == "auto" and cap >= params.grid_min_points
+        )
+        grid_buckets, grid_cap = (
+            local_grid_spec(
+                scans, float(np.sqrt(params.max_dist_match2)),
+                params.grid_max_cap,
+            )
+            if use_grid
+            else (0, 0)
+        )
+
+    pos0 = np.zeros((S, 3), np.float32)
+    theta0 = np.zeros((S, 3), np.float32)
+    for si, s in enumerate(scans):
+        theta, p = math3d.matrix4_to_euler(s.transMat)
+        pos0[si] = p
+        theta0[si] = theta
+
+    mesh = None
+    if params.mesh == "auto":
+        from ..parallel.mesh import default_points_mesh
+
+        mesh = default_points_mesh()
+    elif params.mesh:
+        mesh = params.mesh
+
+    from ..utils.metrics import metrics
+    from .lum_device import build_local_grids
+
+    with metrics.time("lum_cov_time"):
+        # resident per-scan LOCAL hashes: built once (separate jit so
+        # the hash enters lum_run as a parameter — the TPU fast-gather
+        # requirement, see lum_device/_build_grid_inline); occupancy is
+        # exact at build time, so grid-vs-brute is decided upfront.
+        local_grids = None
+        if grid_buckets:
+            cell = jnp.float32(np.sqrt(params.max_dist_match2))
+            grids, occ = build_local_grids(
+                locals_j, masks_j, cell, n_buckets=int(grid_buckets)
+            )
+            if int(occ) <= grid_cap:
+                local_grids = grids
+
+        kwargs = dict(
+            iterations=int(params.iterations),
+            chunk=int(params.link_chunk),
+            bucket_cap=int(grid_cap) if local_grids is not None else 0,
+        )
+        args = (
+            locals_j, masks_j,
+            jnp.asarray(links_pad), jnp.asarray(link_mask),
+            jnp.asarray(pos0), jnp.asarray(theta0),
+            jnp.int32(n_real),
+            jnp.float32(params.max_dist_match2),
+            jnp.float32(params.epsilon),
+            local_grids,
+        )
+        if mesh is not None and mesh.devices.size > 1:
+            from ..parallel.lum_shard import lum_run_sharded
+
+            pos, theta, hist, it, ret = lum_run_sharded(
+                mesh, *args, **kwargs
+            )
+        else:
+            pos, theta, hist, it, ret = lum_run(*args, **kwargs)
+        hist = np.asarray(hist)
+        n_it = int(it)
+        ret = float(ret)
+
+    # replay frames: one LUM-tagged frame per executed iteration
+    # (lum6Deuler.cc appends via Scan::transform per iteration)
+    for k in range(n_it):
+        for si, s in enumerate(scans):
+            if si == 0:
+                s.add_frame(AlgoType.LUM)
+                continue
+            T = np.asarray(
+                math3d.euler_to_matrix4(
+                    hist[k, si, :3].astype(np.float64),
+                    hist[k, si, 3:].astype(np.float64),
+                )
+            )
+            s.set_pose(T, AlgoType.LUM, record=True)
+    return ret
+
+
+def _do_graph_slam_host(
+    scans: list[TPUScan], links: np.ndarray, params: LumParams
+) -> float:
+    """Host-orchestrated LUM (per-iteration device kernels + f64 host
+    solve) — the fallback for graphs beyond the on-device dense-solve
+    range, where the block-CG solver (pgsolve) takes over."""
+    cap = max(len(s.reduced_local()) for s in scans)
+    cap = ((cap + params.pad_multiple - 1) // params.pad_multiple) * params.pad_multiple
+    locals_pad, masks = _pad_scan_points(scans, cap)
     locals_j = jnp.asarray(locals_pad)
     masks_j = jnp.asarray(masks)
     links_j = jnp.asarray(links, jnp.int32)
 
-    # hashed-cell-list sizing (host): occupancy is density-driven and
-    # rigid transforms preserve density, so one spec (with headroom)
-    # serves all iterations; the device overflow flag guards exactness.
-    grid_buckets = grid_cap = 0
     use_grid = params.nns == "grid" or (
         params.nns == "auto" and cap >= params.grid_min_points
     )
     if use_grid:
-        max_dist = float(np.sqrt(params.max_dist_match2))
-        caps = []
-        H = 0
-        for si, s in enumerate(scans):
-            g = np.asarray(math3d.transform3(s.transMat, s.reduced_local()))
-            Hs, bc = nn_ops.cell_hash_spec(g, np.ones(len(g), bool), max_dist)
-            H = max(H, Hs)
-            caps.append(bc)
-        bcap = ((int(max(caps) * 1.5) + 7) // 8) * 8
-        if bcap <= params.grid_max_cap:
-            grid_buckets, grid_cap = H, bcap
+        grid_buckets, grid_cap = local_grid_spec(
+            scans, float(np.sqrt(params.max_dist_match2)), params.grid_max_cap
+        )
+    else:
+        grid_buckets = grid_cap = 0
 
     mesh = None
     if params.mesh == "auto":

@@ -215,8 +215,21 @@ def align_svd(stats: PairStats):
     """Arun's SVD method (ref icp6Dsvd.cc:39-160): H = S (rows=data),
     R = V U^T with reflection fix via sign of det."""
     H = stats.S.astype(jnp.float32)
-    U, _, Vt = jnp.linalg.svd(H)
-    V = Vt.T
+    # 3x3 SVD via eigh of H^T H + cross-product completion:
+    # jnp.linalg.svd crashes the TPU XLA pipeline inside while_loop
+    # (TransposeFolding check failure), and eigh of a symmetric 3x3 is
+    # cheaper anyway.  U's third column is completed as u0 x u1 (det+1);
+    # the reflection fix is computed from the constructed factors, which
+    # projects H onto SO(3) exactly as Arun's D = diag(1,1,det) does.
+    lam, V = jnp.linalg.eigh(H.T @ H)  # ascending eigenvalues
+    V = V[:, ::-1]
+    u0 = H @ V[:, 0]
+    u0 = u0 / jnp.maximum(jnp.linalg.norm(u0), 1e-12)
+    u1 = H @ V[:, 1]
+    u1 = u1 - u0 * jnp.dot(u0, u1)
+    u1 = u1 / jnp.maximum(jnp.linalg.norm(u1), 1e-12)
+    u2 = jnp.cross(u0, u1)
+    U = jnp.stack([u0, u1, u2], axis=1)
     det = jnp.linalg.det(V @ U.T)
     D = jnp.diag(jnp.array([1.0, 1.0, 1.0], dtype=H.dtype))
     D = D.at[2, 2].set(jnp.sign(det))

@@ -29,17 +29,6 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
-def _bucket_cap(n: int, base: int) -> int:
-    """Round up to a power-of-two multiple of base: bounds the number of
-    distinct compiled shapes to O(log(total points)) over a whole
-    sequence (SURVEY §7 'hard parts' #3 — metascan model sizes grow per
-    scan; without bucketing every pair recompiles)."""
-    cap = base
-    while cap < n:
-        cap *= 2
-    return cap
-
-
 @dataclasses.dataclass
 class SequenceRegistration:
     """Registration run over an ordered scan list."""
@@ -53,7 +42,9 @@ class SequenceRegistration:
     # otherwise; "brute" | "grid" force one (ref -t nns_type switch,
     # include/slam6d/scan.h:34-36).
     nns: str = "auto"
-    grid_min_model: int = 4096  # auto threshold: grid above this M
+    grid_min_model: int = 131072  # auto: hash only above this M (below, the
+    # Pallas MXU brute kernel beats the gather-bound cell list — measured
+    # breakeven ~170k model points at cap=8 on v5e)
     grid_max_cap: int = 768  # fall back to brute beyond this occupancy
     # Multi-device: "auto" shards target points over all local devices
     # (psum-merged pair stats, parallel.icp_shard) whenever more than
@@ -75,6 +66,81 @@ class SequenceRegistration:
             return []
         return [self.run_single(scans, i) for i in range(1, len(scans))]
 
+    def _prepare(self, scans: list[TPUScan]) -> dict:
+        """Upload the sequence ONCE as resident [S, N, 3] device tensors
+        and size the hash spec once — per-match work shrinks to a tiny
+        pose-matrix upload + one jitted call (the reference instead
+        keeps a kd-tree resident per scan, basicScan.cc:702-728; the
+        round-2 driver rebuilt + re-uploaded the metascan model on the
+        host every match, 15 ms/iter of overhead)."""
+        key = (tuple(id(s) for s in scans), self.params)
+        prep = getattr(self, "_prep", None)
+        if prep is not None and prep["key"] == key:
+            return prep
+        import jax.numpy as jnp
+
+        mesh = self._resolve_mesh()
+        pad_to = self.pad_multiple
+        if mesh is not None:
+            pad_to = _round_up(pad_to, mesh.devices.size)
+        cap = _round_up(max(len(s.reduced_local()) for s in scans), pad_to)
+        S = len(scans)
+        locals_pad = np.zeros((S, cap, 3), np.float32)
+        masks = np.zeros((S, cap), bool)
+        for si, s in enumerate(scans):
+            r = s.reduced_local()
+            locals_pad[si, : len(r)] = r
+            masks[si, : len(r)] = True
+        need_normals = (
+            self.params.pairing != "closest_point"
+            or self.params.minimizer == "napx"
+        )
+        if need_normals:
+            normals_pad = np.stack(
+                [s.reduced_normals_padded(cap) for s in scans]
+            ).astype(np.float32)
+        else:
+            normals_pad = np.zeros((1, 1, 3), np.float32)  # unused dummy
+
+        total = int(masks.sum())
+        grid_buckets = grid_cap = 0
+        use_grid = self.nns == "grid" or (
+            self.nns == "auto" and total >= self.grid_min_model
+        )
+        if use_grid and self.params.pairing != "along_normal":
+            from ..ops import nn as nn_ops
+
+            # occupancy of the FULL stacked metascan at current poses
+            # (density is pose-invariant up to overlap drift; the
+            # per-match maxocc guard keeps exactness)
+            max_dist = float(np.sqrt(self.params.max_dist_match2))
+            all_g = np.concatenate(
+                [
+                    np.asarray(math3d.transform3(s.transMat, s.reduced_local()))
+                    for s in scans
+                ]
+            ).astype(np.float32)
+            H, bc = nn_ops.cell_hash_spec(
+                all_g, np.ones(len(all_g), bool), max_dist
+            )
+            bcap = ((int(bc * 1.5) + 7) // 8) * 8
+            if bcap <= self.grid_max_cap:
+                grid_buckets, grid_cap = H, bcap
+
+        prep = dict(
+            key=key,
+            mesh=mesh,
+            cap=cap,
+            locals=jnp.asarray(locals_pad),
+            masks=jnp.asarray(masks),
+            normals=jnp.asarray(normals_pad),
+            has_normals=need_normals,
+            grid_buckets=grid_buckets,
+            grid_cap=grid_cap,
+        )
+        self._prep = prep
+        return prep
+
     def run_single(self, scans: list[TPUScan], i: int) -> dict:
         """Register scan i against the previous scan (or metascan of all
         earlier scans): odometry extrapolation + one jitted ICP match +
@@ -84,11 +150,8 @@ class SequenceRegistration:
         match event appends a frame to every scan (ICP for current,
         ICPINACTIVE for already-registered, INVALID for future scans).
         """
-        mesh = self._resolve_mesh()
-        pad_to = self.pad_multiple
-        if mesh is not None:
-            pad_to = _round_up(pad_to, mesh.devices.size)
-        cap = _round_up(max(len(s.reduced_local()) for s in scans), pad_to)
+        prep = self._prepare(scans)
+        mesh = prep["mesh"]
         cur = scans[i]
         prev = scans[i - 1]
         if self.extrapolate_odometry:
@@ -100,70 +163,44 @@ class SequenceRegistration:
 
         if self.metascan:
             lo = 0
+            window_cap = len(scans)
             if self.max_num_metascans > 0:
                 lo = max(0, i - self.max_num_metascans)
-            model_scans = scans[lo:i]
+                window_cap = self.max_num_metascans
         else:
-            model_scans = [prev]
+            lo = i - 1
+            window_cap = 1
 
-        n_model = sum(len(ms.reduced_local()) for ms in model_scans)
-        mcap = _bucket_cap(n_model, self.pad_multiple)
-        model_pts = np.zeros((mcap, 3), dtype=np.float32)
-        model_mask = np.zeros(mcap, dtype=bool)
-        o = 0
-        for ms in model_scans:
-            g = np.asarray(
-                math3d.transform3(ms.transMat, ms.reduced_local())
-            )
-            model_pts[o : o + len(g)] = g
-            model_mask[o : o + len(g)] = True
-            o += len(g)
-
-        tgt_pts, tgt_mask = cur.reduced_padded(cap)
-        need_normals = (
-            self.params.pairing != "closest_point"
-            or self.params.minimizer == "napx"
-        )
-        tgt_normals = cur.reduced_normals_padded(cap) if need_normals else None
-        grid_buckets = grid_cap = 0
-        use_grid = self.nns == "grid" or (
-            self.nns == "auto" and n_model >= self.grid_min_model
-        )
-        if use_grid and self.params.pairing != "along_normal":
-            from ..ops import nn as nn_ops
-
-            max_dist = float(np.sqrt(self.params.max_dist_match2))
-            H, bcap = nn_ops.cell_hash_spec(
-                model_pts[:o], np.ones(o, bool), max_dist
-            )
-            if bcap <= self.grid_max_cap:
-                grid_buckets, grid_cap = H, bcap
-        kwargs = dict(
-            max_dist_match2=self.params.max_dist_match2,
-            epsilon=self.params.epsilon,
+        statics = dict(
             max_iterations=self.params.max_iterations,
             minimizer=self.params.minimizer,
             subsample=self.params.subsample,
-            seed=i,
             pairing=self.params.pairing,
-            target_normals_local=tgt_normals,
-            grid_buckets=grid_buckets,
-            grid_bucket_cap=grid_cap,
+            has_normals=prep["has_normals"],
         )
         T0 = cur.transMat.astype(np.float32)
+        mats = np.stack([s.transMat for s in scans]).astype(np.float32)
         from ..utils.metrics import MATCHING, metrics
 
-        with metrics.time(MATCHING):
+        def match(grid_buckets, grid_cap):
+            args = (
+                prep["locals"], prep["masks"], prep["normals"], mats,
+                lo, i, i, T0,
+                self.params.max_dist_match2, self.params.epsilon, i,
+            )
+            kw = dict(statics, grid_buckets=grid_buckets,
+                      grid_bucket_cap=grid_cap)
             if mesh is not None:
                 from ..parallel import icp_shard
 
-                res = icp_shard.icp_pair_sharded(
-                    mesh, model_pts, model_mask, tgt_pts, tgt_mask, T0, **kwargs
-                )
-            else:
-                res = icp_mod.icp_pair(
-                    model_pts, model_mask, tgt_pts, tgt_mask, T0, **kwargs
-                )
+                return icp_shard.icp_pair_seq_sharded(mesh, *args, **kw)
+            return icp_mod.icp_pair_seq(*args, **kw, window_cap=window_cap)
+
+        with metrics.time(MATCHING):
+            res = match(prep["grid_buckets"], prep["grid_cap"])
+            if prep["grid_buckets"] and int(res.maxocc) > prep["grid_cap"]:
+                # hash overflow: exactness guard — redo with brute NN
+                res = match(0, 0)
             res = icp_mod.IcpResult(*jax.tree_util.tree_map(np.asarray, res))
         T_new = np.asarray(res.T, dtype=np.float64)
         # orthonormalize the accumulated f32 rotation before storing

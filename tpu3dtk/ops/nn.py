@@ -28,6 +28,7 @@ import jax.numpy as jnp
 
 __all__ = [
     "nn_brute",
+    "nn_brute_auto",
     "nn_brute_line",
     "nn_grid",
     "GridIndex",
@@ -38,6 +39,21 @@ __all__ = [
     "cell_hash_max_occupancy",
     "nn_cell_hash",
 ]
+
+
+def nn_brute_auto(query, qmask, model, mmask, max_dist2):
+    """Backend-dispatched exact brute NN: the Pallas MXU kernel on TPU
+    (ops.nn_pallas.nn_brute_mxu — keeps the [Q, M] distance tiles in
+    VMEM with a running argmin, so it stays at speed inside
+    lax.while_loop where the XLA version loses fusion and spills), the
+    XLA version elsewhere.  Same contract as :func:`nn_brute`."""
+    import jax as _jax
+
+    if _jax.default_backend() == "tpu":
+        from .nn_pallas import nn_brute_mxu
+
+        return nn_brute_mxu(query, qmask, model, mmask, max_dist2)
+    return nn_brute(query, qmask, model, mmask, max_dist2)
 
 
 def _pairwise_d2(q, m):
@@ -98,35 +114,49 @@ def nn_brute_line(query, qdir, qmask, model, mmask, max_dist2, q_tile: int = 102
 
     query: [Q,3]; qdir: [Q,3] unit directions.  Strict acceptance at
     max_dist2 like nn_brute.
+
+    Precision: the line metric is translation-invariant, so (like
+    nn_brute, whose centering note at the top applies) coordinates are
+    centered on the model's masked mean before the matmul expansion and
+    the winning candidate's distance is recomputed exactly by direct
+    subtraction — ranking and the accept test carry full f32 accuracy
+    on large-extent clouds.
     """
     Q = query.shape[0]
     q_tile = min(q_tile, Q)
     pad = (-Q) % q_tile
-    qp = jnp.pad(query, ((0, pad), (0, 0)))
+    center = jnp.sum(
+        jnp.where(mmask[:, None], model, 0.0), axis=0
+    ) / jnp.maximum(jnp.sum(mmask), 1)
+    qp = jnp.pad(query, ((0, pad), (0, 0))) - center
     dp = jnp.pad(qdir, ((0, pad), (0, 0)))
+    mc = model - center
     big = jnp.float32(3.4e38)
     minf = jnp.where(mmask, 0.0, big)[None, :]
-    m2 = jnp.sum(model * model, axis=1)[None, :]
+    m2 = jnp.sum(mc * mc, axis=1)[None, :]
 
     def one_tile(args):
         qt, dt = args
-        cross = jnp.dot(qt, model.T, preferred_element_type=jnp.float32)
+        cross = jnp.dot(qt, mc.T, preferred_element_type=jnp.float32)
         q2 = jnp.sum(qt * qt, axis=1, keepdims=True)
         d2 = q2 + m2 - 2.0 * cross
         # projection: ((q - m)·dir)² = (q·dir - m·dir)²
         qd = jnp.sum(qt * dt, axis=1, keepdims=True)
-        md = jnp.dot(dt, model.T, preferred_element_type=jnp.float32)
+        md = jnp.dot(dt, mc.T, preferred_element_type=jnp.float32)
         proj = qd - md
         d2l = d2 - proj * proj + minf
         idx = jnp.argmin(d2l, axis=1).astype(jnp.int32)
-        best = jnp.take_along_axis(d2l, idx[:, None].astype(jnp.int64), axis=1)[:, 0]
-        return idx, best
+        return idx
 
     qtiles = qp.reshape(-1, q_tile, 3)
     dtiles = dp.reshape(-1, q_tile, 3)
-    idx, best = jax.lax.map(one_tile, (qtiles, dtiles))
+    idx = jax.lax.map(one_tile, (qtiles, dtiles))
     idx = idx.reshape(-1)[:Q]
-    best = best.reshape(-1)[:Q]
+    # exact recompute of the winner's line distance by direct subtraction
+    diff = model[idx] - query
+    proj = jnp.sum(diff * qdir, axis=1)
+    best = jnp.sum(diff * diff, axis=1) - proj * proj
+    best = jnp.where(mmask[idx], best, big)
     found = qmask & (best < max_dist2)
     return idx, best, found
 

@@ -295,3 +295,118 @@ def nn_cell_list(model, mmask, query, qmask, max_dist2, chunk: int = 256):
     d2 = d2x[inv]
     found = found_sorted[inv] & np.asarray(qmask)
     return idx, d2, found
+
+
+# ---------------------------------------------------------------------------
+# MXU brute-force NN kernel — the in-loop production NN
+# ---------------------------------------------------------------------------
+#
+# Honest in-loop measurements (round 3) showed both XLA NN engines
+# collapse inside lax.while_loop: the hashed-cell-list candidate gather
+# lowers to a ~265 M elem/s serial gather, and the brute matmul+argmin
+# loses its fusion so the [Q, M] distance matrix spills to HBM
+# (~16 ms/iter at dat scale vs ~0.3 ms standalone).  The reference hits
+# the same wall differently: its kd-tree recursion is pointer chasing
+# the TPU cannot express at all (include/slam6d/kdTreeImpl.h:345).
+#
+# This kernel computes the distance block [TQ, TM] on the MXU from
+# transposed [8, N] coordinate tiles and keeps the running (min, argmin)
+# in VMEM scratch across model tiles — nothing ever spills, in or out
+# of a while_loop.  Points are pre-centered by the caller (matmul
+# expansion precision, same contract as ops.nn.nn_brute) and the
+# winner's distance is recomputed exactly by direct subtraction.
+
+def _nn_mxu_kernel(q_ref, m_ref, idx_ref, d2_ref, best_d2, best_ix, *, TM):
+    wm = pl.program_id(1)
+    nm = pl.num_programs(1)
+
+    @pl.when(wm == 0)
+    def _init():
+        best_d2[...] = jnp.full_like(best_d2, 3.4e38)
+        best_ix[...] = jnp.zeros_like(best_ix)
+
+    q = q_ref[...]  # [8, TQ] rows 0-2 = xyz (centered), rest 0
+    m = m_ref[...]  # [8, TM]
+    cross = jax.lax.dot_general(
+        q, m, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [TQ, TM]
+    m2 = jnp.sum(m * m, axis=0, keepdims=True)  # [1, TM]
+    score = m2 - 2.0 * cross  # d2 - |q|2: same argmin
+    bm = jnp.min(score, axis=1, keepdims=True).T        # [1, TQ]
+    ba = jax.lax.argmin(score, 1, jnp.int32)            # [TQ]
+    ba = ba[None, :] + wm * np.int32(TM)                # [1, TQ]
+    prev = best_d2[0:1, :]
+    better = bm < prev
+    best_d2[0:1, :] = jnp.where(better, bm, prev)
+    best_ix[0:1, :] = jnp.where(better, ba, best_ix[0:1, :])
+
+    @pl.when(wm == nm - 1)
+    def _emit():
+        d2_ref[...] = jnp.broadcast_to(best_d2[0:1, :], d2_ref.shape)
+        idx_ref[...] = jnp.broadcast_to(best_ix[0:1, :], idx_ref.shape)
+
+
+@functools.partial(jax.jit, static_argnames=("TQ", "TM", "interpret"))
+def _nn_mxu_call(qT, mT, TQ, TM, interpret=False):
+    """qT: [8, Qpad] centered transposed queries; mT: [8, Mpad] centered
+    transposed model (masked/pad columns pushed far away).  Returns
+    (idx [Qpad] i32 into the padded model, score [Qpad] f32)."""
+    Qpad, Mpad = qT.shape[1], mT.shape[1]
+    NQ, NM = Qpad // TQ, Mpad // TM
+    kern = functools.partial(_nn_mxu_kernel, TM=TM)
+    idx8, d28 = pl.pallas_call(
+        kern,
+        grid=(NQ, NM),
+        in_specs=[
+            # wq - wq keeps the index i32 (a literal 0 lowers to i64
+            # in the remote Mosaic pipeline and fails legalization)
+            pl.BlockSpec((8, TQ), lambda wq, wm: (wq - wq, wq)),
+            pl.BlockSpec((8, TM), lambda wq, wm: (wq - wq, wm)),
+        ],
+        out_specs=[
+            pl.BlockSpec((8, TQ), lambda wq, wm: (wq - wq, wq)),
+            pl.BlockSpec((8, TQ), lambda wq, wm: (wq - wq, wq)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((8, Qpad), jnp.int32),
+            jax.ShapeDtypeStruct((8, Qpad), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((8, TQ), jnp.float32),
+            pltpu.VMEM((8, TQ), jnp.int32),
+        ],
+        interpret=interpret,
+    )(qT, mT)
+    return idx8[0], d28[0]
+
+
+def nn_brute_mxu(
+    query, qmask, model, mmask, max_dist2, TQ: int = 512, TM: int = 1024
+):
+    """Exact NN with the contract of ops.nn.nn_brute (strict d2 <
+    max_dist2, centered ranking + exact winner recompute), through the
+    Pallas MXU kernel.  Fully traceable — safe inside jit/while_loop;
+    interpret mode runs it on CPU backends (tests)."""
+    Q = query.shape[0]
+    M = model.shape[0]
+    center = jnp.sum(
+        jnp.where(mmask[:, None], model, 0.0), axis=0
+    ) / jnp.maximum(jnp.sum(mmask), 1)
+    Qpad = _round_up(max(Q, TQ), TQ)
+    Mpad = _round_up(max(M, TM), TM)
+    qT = jnp.zeros((8, Qpad), jnp.float32)
+    qT = qT.at[:3, :Q].set((query - center).T)
+    # masked + pad model columns sit at 1e6: score ~1e12, never wins
+    mc = jnp.where(mmask[:, None], model - center, jnp.float32(1e6))
+    mT = jnp.full((8, Mpad), jnp.float32(0.0))
+    mT = mT.at[:3, :M].set(mc.T)
+    mT = mT.at[:3, M:].set(1e6)
+    interpret = jax.default_backend() != "tpu"
+    idx, _score = _nn_mxu_call(qT, mT, TQ, TM, interpret=interpret)
+    idx = jnp.clip(idx[:Q], 0, M - 1)
+    diff = query - model[idx]
+    best = jnp.sum(diff * diff, axis=1)
+    big = jnp.float32(3.4e38)
+    best = jnp.where(mmask[idx], best, big)
+    found = qmask & (best < max_dist2)
+    return idx, best, found

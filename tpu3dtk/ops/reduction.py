@@ -140,10 +140,20 @@ def reduce_scan(xyz, voxel_size, nrpts, *, seed: int = 0):
     numpy array (trimmed to the true count)."""
     import numpy as np
 
-    xyz = jnp.asarray(xyz)
-    mask = jnp.ones(xyz.shape[0], dtype=bool)
     if voxel_size <= 0:
         return np.asarray(xyz)
+    # bucket the padded size to powers of two so a whole scan directory
+    # (every scan a slightly different size after range filtering)
+    # compiles voxel_reduce once, not per scan (~35 s/compile on the
+    # remote TPU pipeline)
+    n = np.asarray(xyz).shape[0]
+    cap = 1024
+    while cap < n:
+        cap *= 2
+    xyz = jnp.asarray(
+        np.pad(np.asarray(xyz, np.float32), ((0, cap - n), (0, 0)))
+    )
+    mask = jnp.arange(cap) < n
     if nrpts == 0:
         out, m = voxel_reduce(xyz, mask, voxel_size, mode="center")
     elif nrpts == -1:

@@ -140,9 +140,14 @@ def _sharded_icp_fn(
 ):
     """Build + cache the jitted shard_map ICP for one static config, so
     repeated matches reuse the XLA compile cache."""
-    from ..models.icp import _icp_pair_impl
+    from ..models.icp import _build_grid_inline, _icp_pair_impl
 
     def shard_fn(model, mmask, tgt, tmsk, T0, normals):
+        grid = None
+        if grid_buckets > 0 and pairing != "along_normal":
+            grid, _occ = _build_grid_inline(
+                model, mmask, jnp.float32(max_dist_match2), grid_buckets
+            )
         return _icp_pair_impl(
             model, mmask, tgt, tmsk, T0,
             max_dist_match2=max_dist_match2,
@@ -153,7 +158,7 @@ def _sharded_icp_fn(
             seed=seed,
             pairing=pairing,
             target_normals_local=normals if have_normals else None,
-            grid_buckets=grid_buckets,
+            grid=grid,
             grid_bucket_cap=grid_bucket_cap,
             axis_name=axis,
         )
@@ -162,7 +167,7 @@ def _sharded_icp_fn(
         shard_fn,
         mesh=mesh,
         in_specs=(P(), P(), P(axis, None), P(axis), P(), P(axis, None)),
-        out_specs=IcpResult(T=P(), error=P(), iterations=P(), n_pairs=P()),
+        out_specs=P(),
         check_vma=False,
     )
     return jax.jit(fn)
@@ -224,3 +229,68 @@ def icp_step_batch_sharded(
         jnp.asarray(tmasks),
         jnp.asarray(Ts, jnp.float32),
     )
+
+
+def icp_pair_seq_sharded(
+    mesh,
+    locals_all, masks_all, normals_all, mats,
+    lo, hi, tgt_idx, T0,
+    max_dist_match2, epsilon, seed,
+    *,
+    max_iterations: int = 50,
+    minimizer: str = "quat",
+    subsample: int = 1,
+    pairing: str = "closest_point",
+    has_normals: bool = False,
+    grid_buckets: int = 0,
+    grid_bucket_cap: int = 0,
+    axis: str = "points",
+) -> IcpResult:
+    """Sequence-resident sharded match (models.icp.icp_pair_seq under
+    shard_map): sequence tensors replicated, each device takes its
+    1/n_dev slice of the target scan, pair stats psum over ICI every
+    iteration.  N must be divisible by the axis size."""
+    from ..models.icp import _icp_pair_seq_impl
+
+    n_dev = mesh.devices.size
+    fn = _seq_sharded_fn(
+        mesh, axis, int(max_iterations), minimizer, int(subsample),
+        pairing, bool(has_normals), int(grid_buckets),
+        int(grid_bucket_cap), n_dev,
+    )
+    return fn(
+        jnp.asarray(locals_all, jnp.float32),
+        jnp.asarray(masks_all),
+        jnp.asarray(normals_all, jnp.float32),
+        jnp.asarray(mats, jnp.float32),
+        jnp.int32(lo), jnp.int32(hi), jnp.int32(tgt_idx),
+        jnp.asarray(T0, jnp.float32),
+        jnp.float32(max_dist_match2), jnp.float32(epsilon),
+        jnp.int32(seed),
+    )
+
+
+@functools.lru_cache(maxsize=64)
+def _seq_sharded_fn(mesh, axis, max_iterations, minimizer, subsample,
+                    pairing, has_normals, grid_buckets, grid_bucket_cap,
+                    n_dev):
+    from ..models.icp import _icp_pair_seq_impl
+
+    def shard_fn(lp, mk, nm, mt, lo, hi, ti, T0, md2, eps, seed):
+        return _icp_pair_seq_impl(
+            lp, mk, nm, mt, lo, hi, ti, T0, md2, eps, seed,
+            max_iterations=max_iterations, minimizer=minimizer,
+            subsample=subsample, pairing=pairing,
+            has_normals=has_normals, grid_buckets=grid_buckets,
+            grid_bucket_cap=grid_bucket_cap,
+            axis_name=axis, n_shards=n_dev,
+        )
+
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(),) * 11,
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(fn)

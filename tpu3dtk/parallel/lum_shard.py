@@ -122,3 +122,58 @@ def _sharded_links_fn(mesh, axis, chunk, n_buckets, bucket_cap):
         check_vma=False,
     )
     return jax.jit(fn)
+
+
+def lum_run_sharded(
+    mesh,
+    locals_pts, masks, links, link_mask, pos0, theta0,
+    n_scans, max_dist2, epsilon, local_grids=None,
+    *,
+    iterations: int,
+    chunk: int = 4,
+    bucket_cap: int = 0,
+    axis: str = "points",
+):
+    """The ENTIRE on-device LUM relaxation (models.lum_device.lum_run)
+    under shard_map with the LINK slots sharded over ``axis``: each
+    device computes covariances for its link shard, the G/B block
+    partials psum-merge over ICI, and every device runs the (tiny)
+    replicated solve + pose update — so the while_loop state stays
+    bitwise identical across devices with one collective per iteration
+    (the TPU form of the reference's OpenMP scatter,
+    lum6Deuler.cc:270-303)."""
+    from ..models.lum_device import lum_run
+
+    n_dev = mesh.devices.size
+    L = links.shape[0]
+    Lpad = ((L + n_dev - 1) // n_dev) * n_dev
+    if Lpad != L:
+        links = jnp.concatenate(
+            [links, jnp.zeros((Lpad - L, 2), links.dtype)]
+        )
+        link_mask = jnp.concatenate(
+            [link_mask, jnp.zeros(Lpad - L, link_mask.dtype)]
+        )
+
+    def shard_fn(lp, mk, lnk, lmask, p0, t0, ns, md2, eps, grids):
+        return lum_run(
+            lp, mk, lnk, lmask, p0, t0, ns, md2, eps, grids,
+            iterations=iterations, chunk=chunk,
+            bucket_cap=bucket_cap,
+            axis_name=axis,
+        )
+
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(
+            P(), P(), P(axis, None), P(axis), P(), P(), P(), P(), P(), P(),
+        ),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(fn)(
+        locals_pts, masks, links, link_mask, pos0, theta0,
+        jnp.int32(n_scans), jnp.float32(max_dist2), jnp.float32(epsilon),
+        local_grids,
+    )
