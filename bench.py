@@ -18,12 +18,24 @@ Extras:
   GraphPipeline (sequential ICP + ELCH loop closure + LUM), reported as
   scans/s with the per-phase breakdown (matching/elch/lum cov/solve).
 
-vs_baseline: ratio against the CPU reference-equivalent pipeline
-wall-time on the same dat ICP+LUM workload, read from
-BASELINE_MEASURED.json (produced by scripts/measure_reference.py —
-scipy cKDTree with parallel queries + f64 Horn ICP + f64 LUM; the real
-slam6D binary is not buildable in this image, so this stand-in is the
-denominator; see the `baseline_caveat` extra).
+vs_baseline (FROZEN protocol, round 3): ratio of the CPU
+reference-equivalent wall-time to ours on the hannover_synth 100-scan
+GraphPipeline workload — the reference's own regime (hundreds of
+scans, loop closure, -L 4 -G 1), both sides running the identical
+schedule: sequential ICP (50 iters, eps 1e-6) + ELCH slerp closures +
+LUM (10 iters, eps 0.1) per closure + final relax.  CPU side:
+scripts/cpu_pipeline.py (cKDTree parallel queries + f64 Horn +
+f64 LUM + slerp ELCH), measured by scripts/measure_reference.py into
+BASELINE_MEASURED.json.  The real slam6D binary is not buildable in
+this image (no Boost/SuiteSparse), so this stand-in is the
+denominator; see the `baseline_caveat` extra.  dat_vs_baseline is
+also reported: the 3-scan bundled workload (ICP 50 iters eps 1e-7 +
+LUM 50 iters eps 1e-5 — same protocol as tests/test_ate.py and the
+committed golden oracle).
+
+Accuracy gate: the dat ATE against the protocol-matched f64 oracle is
+asserted < 5 cm RMSE right here in the bench (`dat_ate_ok`), the same
+bound tests/test_ate.py enforces — one protocol, one bound.
 """
 
 from __future__ import annotations
@@ -303,6 +315,10 @@ def run_benchmarks():
         extra.update(bench_nn_kernel())
     except Exception as e:  # never lose the primary metric
         extra["nn_256k_error"] = repr(e)[:200]
+    ref = {}
+    mpath = os.path.join(REPO, "BASELINE_MEASURED.json")
+    if os.path.exists(mpath):
+        ref = json.load(open(mpath))
     vs_baseline = 0.0
     dat = bench_dat_registration()
     if dat:
@@ -313,27 +329,42 @@ def run_benchmarks():
         if "ate" in dat:
             extra["dat_ate_rmse_cm"] = round(dat["ate"]["rmse"], 3)
             extra["dat_ate_max_cm"] = round(dat["ate"]["max"], 3)
-        mpath = os.path.join(REPO, "BASELINE_MEASURED.json")
-        if os.path.exists(mpath):
-            ref = json.load(open(mpath))
-            ref_ms = ref.get("dat_matching_ms")
-            if ref_ms:
-                vs_baseline = round(ref_ms / (dat["wall_s"] * 1000.0), 3)
-                extra["baseline_caveat"] = (
-                    "denominator is a CPU reference-equivalent "
-                    "(parallel cKDTree + f64 Horn ICP + f64 LUM), not the "
-                    "unbuildable slam6D binary; see BASELINE_MEASURED.json"
-                )
+            # the accuracy gate of tests/test_ate.py, asserted here too
+            extra["dat_ate_ok"] = bool(dat["ate"]["rmse"] < 5.0)
+        if ref.get("dat_matching_ms"):
+            extra["dat_vs_baseline"] = round(
+                ref["dat_matching_ms"] / (dat["wall_s"] * 1000.0), 3
+            )
     try:
         extra.update(bench_hannover_synth())
+        if ref.get("hannover_synth_ms") and extra.get("hannover_synth_wall_s"):
+            vs_baseline = round(
+                ref["hannover_synth_ms"]
+                / (extra["hannover_synth_wall_s"] * 1000.0),
+                3,
+            )
+            extra["hannover_cpu_baseline_s"] = round(
+                ref["hannover_synth_ms"] / 1000.0, 1
+            )
+            extra["hannover_cpu_baseline_ate_rmse_cm"] = ref.get(
+                "hannover_synth_ate_rmse_cm"
+            )
     except Exception as e:
         extra["hannover_synth_error"] = repr(e)[:200]
+    if vs_baseline == 0.0:
+        vs_baseline = extra.get("dat_vs_baseline", 0.0)
+    extra["baseline_caveat"] = (
+        "denominator is a CPU reference-equivalent of the identical "
+        "workload schedule (scripts/cpu_pipeline.py: parallel cKDTree + "
+        "f64 Horn ICP + f64 LUM + slerp ELCH), not the unbuildable "
+        "slam6D binary; see BASELINE_MEASURED.json"
+    )
     result = {
-        "metric": "icp_iters_per_s_16kx16k",
-        "value": round(iters_per_s, 2),
-        "unit": "iters/s/chip",
+        "metric": "hannover_synth_speedup_vs_cpu",
+        "value": vs_baseline,
+        "unit": "x (100-scan GraphPipeline wall-time ratio)",
         "vs_baseline": vs_baseline,
-        "extra": extra,
+        "extra": dict(extra, icp_iters_per_s_16kx16k=round(iters_per_s, 2)),
     }
     with open(cache_path, "w") as f:
         json.dump(result, f)

@@ -144,7 +144,10 @@ def lum_run_sharded(
     lum6Deuler.cc:270-303)."""
     from ..models.lum_device import lum_run
 
-    n_dev = mesh.devices.size
+    ax = axis if isinstance(axis, tuple) else (axis,)
+    n_dev = 1
+    for a in ax:
+        n_dev *= mesh.shape[a]
     L = links.shape[0]
     Lpad = ((L + n_dev - 1) // n_dev) * n_dev
     if Lpad != L:
@@ -160,14 +163,14 @@ def lum_run_sharded(
             lp, mk, lnk, lmask, p0, t0, ns, md2, eps, grids,
             iterations=iterations, chunk=chunk,
             bucket_cap=bucket_cap,
-            axis_name=axis,
+            axis_name=ax if len(ax) > 1 else ax[0],
         )
 
     fn = shard_map(
         shard_fn,
         mesh=mesh,
         in_specs=(
-            P(), P(), P(axis, None), P(axis), P(), P(), P(), P(), P(), P(),
+            P(), P(), P(ax, None), P(ax), P(), P(), P(), P(), P(), P(),
         ),
         out_specs=P(),
         check_vma=False,
