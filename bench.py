@@ -33,9 +33,11 @@ also reported: the 3-scan bundled workload (ICP 50 iters eps 1e-7 +
 LUM 50 iters eps 1e-5 — same protocol as tests/test_ate.py and the
 committed golden oracle).
 
-Accuracy gate: the dat ATE against the protocol-matched f64 oracle is
-asserted < 5 cm RMSE right here in the bench (`dat_ate_ok`), the same
-bound tests/test_ate.py enforces — one protocol, one bound.
+Accuracy gate: the dat ATE against the protocol-matched f64 oracle must
+be < 5 cm RMSE (`dat_ate_ok`), the same bound tests/test_ate.py
+enforces — one protocol, one bound.  When it fails, the headline
+value/vs_baseline are zeroed (`gate_failed` extra) so a speedup can
+never be published on top of an accuracy regression.
 """
 
 from __future__ import annotations
@@ -242,12 +244,15 @@ def bench_hannover_synth(n_scans=100):
             loopsize=10,
         )
 
-    # warmup on the first few scans to absorb compiles
+    # warmup on a full same-shape copy: every jitted program's shapes
+    # depend on (S, cap), so a truncated warmup absorbs NONE of the
+    # matching/ELCH/LUM compiles (round-4 finding: ~25 s of the 47 s
+    # "measured" run was compile time)
     warm = [
         TPUScan.from_points(s.reduced_local(), s.identifier, s.transMatOrg)
-        for s in scans[:12]
+        for s in scans
     ]
-    for w, s in zip(warm, scans[:12]):
+    for w, s in zip(warm, scans):
         w._reduced_local = s.reduced_local()
     build_pipe().run(warm)
 
@@ -353,10 +358,17 @@ def run_benchmarks():
         extra["hannover_synth_error"] = repr(e)[:200]
     if vs_baseline == 0.0:
         vs_baseline = extra.get("dat_vs_baseline", 0.0)
+    # ACCURACY GATE (VERDICT r3 weak #5): a speedup may not be published
+    # when the dat ATE bound fails — zero the headline so a regression
+    # can never ride on a good-looking number.
+    if extra.get("dat_ate_ok") is False:
+        extra["gate_failed"] = "dat_ate_rmse_cm >= 5.0 — headline zeroed"
+        vs_baseline = 0.0
     extra["baseline_caveat"] = (
         "denominator is a CPU reference-equivalent of the identical "
         "workload schedule (scripts/cpu_pipeline.py: parallel cKDTree + "
-        "f64 Horn ICP + f64 LUM + slerp ELCH), not the unbuildable "
+        "f64 Horn ICP + f64 LUM + slerp ELCH) measured on "
+        f"{ref.get('host', 'the same host')}, not the unbuildable "
         "slam6D binary; see BASELINE_MEASURED.json"
     )
     result = {

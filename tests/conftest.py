@@ -2,6 +2,13 @@
 exercise real multi-device paths without TPU hardware (SURVEY §7 Phase 3
 validation strategy).
 
+TPU tier: set ``TPU3DTK_TEST_PLATFORM=tpu`` to run the suite against the
+real chip instead (used for the accuracy/kernel-equivalence tier — the
+round-3 lesson was that a CPU-only suite cannot see TPU matmul-precision
+accuracy failures).  Recipe:
+
+    TPU3DTK_TEST_PLATFORM=tpu python -m pytest tests/test_tpu_accuracy.py -q
+
 Note: the axon sitecustomize hook calls jax.config.update with
 jax_platforms="axon,cpu", which overrides the JAX_PLATFORMS env var —
 tests must override via jax.config, not the environment.
@@ -9,13 +16,21 @@ tests must override via jax.config, not the environment.
 
 import os
 
-os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
-)
+TEST_PLATFORM = os.environ.get("TPU3DTK_TEST_PLATFORM", "cpu")
+
+if TEST_PLATFORM == "cpu":
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+    )
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if TEST_PLATFORM == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+# any other value leaves the platform stack alone (the axon sitecustomize
+# already selects the hardware backend; naming it explicitly would break
+# under the tunnel's platform alias)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

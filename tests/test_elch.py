@@ -138,3 +138,32 @@ def test_close_loop_variants_reduce_drift(rng, algo):
     np.testing.assert_allclose(scans[0].transMat, true_poses[0], atol=1e-9)
     # every scan got an ELCH frame
     assert all(s.frames for s in scans)
+
+
+def test_close_loop_device_points_matches_legacy(rng):
+    """The pinned resident-tensor ELCH path (GraphPipeline's shape-
+    stable fast path) must produce the same poses as the legacy
+    host-padded path."""
+    import jax.numpy as jnp
+
+    from tpu3dtk.models import graphslam as gs
+
+    scans_a, _ = _loop_scans(rng)
+    rng2 = np.random.default_rng(42)
+    scans_b, _ = _loop_scans(rng2)
+    n = len(scans_a)
+    edges = [(i, i + 1) for i in range(n - 1)]
+
+    elch.close_loop(scans_a, 0, n - 1, edges, elch.ElchParams())
+
+    cap = max(len(s.reduced_local()) for s in scans_b)
+    cap = ((cap + 511) // 512) * 512
+    locals_pad, masks = gs._pad_scan_points(scans_b, cap)
+    params = elch.ElchParams(
+        scan_cap=n,
+        device_points=(jnp.asarray(locals_pad), jnp.asarray(masks)),
+    )
+    elch.close_loop(scans_b, 0, n - 1, edges, params)
+
+    for sa, sb in zip(scans_a, scans_b):
+        np.testing.assert_allclose(sa.transMat, sb.transMat, atol=1e-3)

@@ -20,9 +20,24 @@ reference's double precision; all hot device kernels request f32/bf16
 explicitly (TPUs have no native f64).
 """
 
+import os as _os
+
 from jax import config as _config
 
 _config.update("jax_enable_x64", True)
+
+# Matmul precision: TPU MXUs run f32 matmuls as bf16 passes by default;
+# with cm-scale scan coordinates (±500 after centering) a single bf16
+# pass corrupts d² by ~10³ cm² — larger than the 625 cm² ICP match gate
+# — so NN ranking picks the wrong neighbor for ~37% of queries (measured
+# on v5e) and pair-statistic einsums drift.  "highest" (6-pass) restores
+# exact-f32 ranking at 1.6-1.7x the matmul time of the default — the NN
+# cross matmul is latency/bandwidth-bound at k=8, not FLOPs-bound.
+# Override via TPU3DTK_MATMUL_PRECISION if a workload can tolerate less.
+_config.update(
+    "jax_default_matmul_precision",
+    _os.environ.get("TPU3DTK_MATMUL_PRECISION", "highest"),
+)
 
 from . import core, io, ops, models, parallel, utils  # noqa: E402,F401
 

@@ -47,6 +47,10 @@ class TPUScan:
     reduction_nrpts: int = 0
     _reduced_local: Optional[np.ndarray] = None
     _pad_cache: Optional[tuple] = None
+    # monotone content generation: bumped whenever the reduced point set
+    # changes, so drivers can key resident-tensor caches on
+    # (identifier, generation) instead of recyclable id()s
+    generation: int = 0
 
     # -- construction -----------------------------------------------------
     @classmethod
@@ -89,6 +93,7 @@ class TPUScan:
         if voxel != self.reduction_voxel or nrpts != self.reduction_nrpts:
             self._reduced_local = None
             self._pad_cache = None
+            self.generation += 1
         self.reduction_voxel = voxel
         self.reduction_nrpts = nrpts
 

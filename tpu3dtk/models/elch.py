@@ -178,14 +178,46 @@ class ElchParams:
     icp_iterations: int = 100
     icp_epsilon: float = 1e-7
     pad_multiple: int = 512
+    # --- shape bucketing (same discipline as LumParams) ----------------
+    # GraphPipeline pins the whole sequence as resident [S, cap, 3] /
+    # [S, cap] device tensors; every closure then reuses ONE compiled
+    # executable for the loop ICP and ONE for the edge covariances
+    # (round-3 ELCH re-padded host arrays per closure: 52.5 s of
+    # recompiles on hannover_synth).
+    scan_cap: int | None = None
+    device_points: tuple | None = None
+    link_cap_min: int = 16
 
 
 def _edge_covariances_euler(scans, graph_edges, params):
     """Per-edge 6x6 LUM-Euler covariances in the current global frames
-    (the covarianceEuler role, elch6Deuler.cc:50-64)."""
+    (the covarianceEuler role, elch6Deuler.cc:50-64).
+
+    With pinned ``device_points`` the whole computation is shape-stable:
+    resident [S, cap] tensors, on-device global transform from the pose
+    stack, links padded to a bucketed slot count — one executable serves
+    every closure of a growing-prefix run."""
     import jax.numpy as jnp
 
-    from .graphslam import link_covariances
+    from .graphslam import link_covariances, link_covariances_global
+
+    if params.device_points is not None:
+        locals_j, masks_j = params.device_points
+        S = int(locals_j.shape[0])
+        mats = np.tile(np.eye(4, dtype=np.float32), (S, 1, 1))
+        for si, s in enumerate(scans):
+            mats[si] = s.transMat.astype(np.float32)
+        E = len(graph_edges)
+        cap = params.link_cap_min
+        while cap < E:
+            cap *= 2
+        links_pad = np.zeros((cap, 2), np.int32)
+        links_pad[:E] = np.asarray(graph_edges, np.int32)
+        C, CD, m = link_covariances_global(
+            locals_j, masks_j, jnp.asarray(mats), jnp.asarray(links_pad),
+            jnp.float32(params.max_dist_match2),
+        )
+        return np.asarray(C[:E], np.float64)
 
     n = len(scans)
     cap = max(len(s.reduced_local()) for s in scans)
@@ -245,6 +277,22 @@ def _loop_icp_align(scans, first, last, params):
 
     n = len(scans)
 
+    if params.device_points is not None:
+        locals_j, masks_j = params.device_points
+        S = int(locals_j.shape[0])
+        mats = np.tile(np.eye(4, dtype=np.float32), (S, 1, 1))
+        for si, s in enumerate(scans):
+            mats[si] = s.transMat.astype(np.float32)
+        res = icp_mod.icp_window_align(
+            locals_j, masks_j, jnp.asarray(mats), first, last, n,
+            params.max_dist_match2, params.icp_epsilon,
+            max_iterations=params.icp_iterations,
+        )
+        align = np.asarray(res.T, np.float64)
+        u, _, vt = np.linalg.svd(align[:3, :3])
+        align[:3, :3] = u @ vt
+        return align
+
     def window_global(lo, hi):
         chunks = []
         for i in range(max(0, lo), min(n, hi + 1)):
@@ -291,23 +339,28 @@ def close_loop(
     metascan(last-2..last), distribute the correction by balanced
     weights with per-axis translation scaling + rotation slerp
     (elch6Dslerp.cc:93-190).  Mutates scan poses (ELCH frames)."""
+    from ..utils.metrics import metrics
+
     n = len(scans)
 
     # 1-2. edge weights from link covariances -> balanced vertex weights
-    C = _edge_covariances_euler(scans, graph_edges, params)
-    wd = _inv_diag_weights(C, 6)
-    wtrans = wd[:, :3]
-    wrot = wd[:, 3:].sum(axis=1)
-    weights = [
-        graph_balancer(graph_edges, wtrans[:, k], first, last, n)
-        for k in range(3)
-    ] + [graph_balancer(graph_edges, wrot, first, last, n)]
+    with metrics.time("elch_cov_time"):
+        C = _edge_covariances_euler(scans, graph_edges, params)
+    with metrics.time("elch_balance_time"):
+        wd = _inv_diag_weights(C, 6)
+        wtrans = wd[:, :3]
+        wrot = wd[:, 3:].sum(axis=1)
+        weights = [
+            graph_balancer(graph_edges, wtrans[:, k], first, last, n)
+            for k in range(3)
+        ] + [graph_balancer(graph_edges, wrot, first, last, n)]
 
     # 3. ICP: metascan around first vs metascan around last
     end_lo, end_hi = last - 2, last
     Pl0 = scans[last].transMat.copy()
     Pf0 = scans[first].transMat.copy()
-    align = _loop_icp_align(scans, first, last, params)
+    with metrics.time("elch_icp_time"):
+        align = _loop_icp_align(scans, first, last, params)
     Pp0 = align @ Pl0
 
     # delta (elch6Dslerp.cc:121-131):

@@ -146,6 +146,8 @@ class GraphPipeline:
                     elch_mod.ElchParams(
                         max_dist_match2=self.icp_params.max_dist_match2,
                         icp_iterations=self.icp_params.max_iterations,
+                        scan_cap=self._scan_cap,
+                        device_points=self._device_points,
                     ),
                 )
             edges.append((first, last))

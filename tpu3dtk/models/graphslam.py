@@ -98,7 +98,10 @@ def _one_link_stats(
             tgt_g, tmask, ghash, max_dist2, bucket_cap
         )
     else:
-        idx, d2, found = nn_ops.nn_brute(
+        # backend-dispatched: the Pallas MXU kernel on TPU — the XLA
+        # brute loses its fusion inside lax.map/scan bodies and spills
+        # the [Q, M] distance tile (see ops.nn_pallas module docstring)
+        idx, d2, found = nn_ops.nn_brute_auto(
             tgt_g, tmask, model_g, mmask, max_dist2
         )
     return lum_pair_stats(model_g[idx], tgt_g, found)
@@ -173,6 +176,30 @@ def link_covariances(
     m [L].  Chunked with lax.map to bound the [chunk, N, N] distance
     working set.
     """
+    def one(link):
+        i, j = link[0], link[1]
+        return _one_link_stats(
+            points_g[i], masks[i], points_g[j], masks[j], max_dist2
+        )
+
+    return jax.lax.map(one, links, batch_size=chunk)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def link_covariances_global(
+    locals_pts, masks, mats, links, max_dist2, chunk: int = 4
+):
+    """:func:`link_covariances` fed from RESIDENT local-frame tensors:
+    the global transform runs on device from the pose stack, so callers
+    that relax repeatedly over growing prefixes (GraphPipeline/ELCH)
+    upload only [S,4,4] poses per call and reuse one executable.
+    Padded link slots (e.g. (0,0)) produce garbage rows the caller
+    discards."""
+    points_g = (
+        jnp.einsum("sij,snj->sni", mats[:, :3, :3], locals_pts)
+        + mats[:, None, :3, 3]
+    ).astype(jnp.float32)
+
     def one(link):
         i, j = link[0], link[1]
         return _one_link_stats(
@@ -293,6 +320,13 @@ def lum_pose_corrections(poses_pos, poses_theta, X):
     return np.linalg.solve(Ha, X[..., None])[..., 0]
 
 
+def _resolve_grid_min(grid_min_points) -> int:
+    """Backend default for the per-scan grid threshold (see LumParams)."""
+    if grid_min_points is not None:
+        return grid_min_points
+    return 2_000_000 if jax.default_backend() == "tpu" else 131072
+
+
 @dataclasses.dataclass
 class LumParams:
     max_dist_match2: float = 625.0  # -D distSLAM squared
@@ -303,8 +337,10 @@ class LumParams:
     # NN engine: "auto" = hashed cell list for large scans, brute
     # otherwise (mirrors SequenceRegistration.nns)
     nns: str = "auto"
-    grid_min_points: int = 131072  # per-scan points; below this the MXU
-    # brute kernel wins (see sequence.grid_min_model)
+    grid_min_points: int | None = None  # per-scan points; None = backend
+    # default (see sequence.grid_min_model: the XLA cell-hash query is
+    # gather-serialized inside lax.while_loop on TPU, so the MXU brute
+    # wins until ~2M points there; ~131072 on CPU)
     grid_max_cap: int = 768
     # host-path solver split: dense f64 Cholesky below this many scans,
     # block-Jacobi CG (pgsolve.solve_block_cg, O(L) memory) above
@@ -438,7 +474,8 @@ def do_graph_slam(
         grid_buckets, grid_cap = params.grid
     else:
         use_grid = params.nns == "grid" or (
-            params.nns == "auto" and cap >= params.grid_min_points
+            params.nns == "auto"
+        and cap >= _resolve_grid_min(params.grid_min_points)
         )
         grid_buckets, grid_cap = (
             local_grid_spec(
@@ -503,6 +540,9 @@ def do_graph_slam(
             )
         else:
             pos, theta, hist, it, ret = lum_run(*args, **kwargs)
+        # one overlapped fetch (three sequential transfers would pay
+        # ~25 ms tunnel latency each)
+        hist, it, ret = jax.device_get((hist, it, ret))
         hist = np.asarray(hist)
         n_it = int(it)
         ret = float(ret)
@@ -538,7 +578,8 @@ def _do_graph_slam_host(
     links_j = jnp.asarray(links, jnp.int32)
 
     use_grid = params.nns == "grid" or (
-        params.nns == "auto" and cap >= params.grid_min_points
+        params.nns == "auto"
+        and cap >= _resolve_grid_min(params.grid_min_points)
     )
     if use_grid:
         grid_buckets, grid_cap = local_grid_spec(

@@ -40,11 +40,18 @@ class SequenceRegistration:
     pad_multiple: int = 512
     # NN engine: "auto" = hashed cell list for large models, brute
     # otherwise; "brute" | "grid" force one (ref -t nns_type switch,
-    # include/slam6d/scan.h:34-36).
+    # include/slam6d/scan.h:34-36).  The auto choice is PER MATCH, from
+    # the actual model-window size (window_cap * point cap), never the
+    # total sequence size (round-3 regression: a 100-scan sequence
+    # tripped the grid for every 1-scan-window match, 50x slower).
     nns: str = "auto"
-    grid_min_model: int = 131072  # auto: hash only above this M (below, the
-    # Pallas MXU brute kernel beats the gather-bound cell list — measured
-    # breakeven ~170k model points at cap=8 on v5e)
+    grid_min_model: int | None = None  # auto threshold on model-window
+    # points; None = backend default.  On TPU the XLA cell-hash query is
+    # gather-serialized INSIDE lax.while_loop (~100 ms/iter regardless
+    # of size, vs ~0.1 ms standalone), while the Pallas MXU brute kernel
+    # scales ~Q*M/75e9 s/iter — brute wins until ~2M model points at
+    # typical 5-20k query sizes.  On CPU the measured breakeven is much
+    # lower (~131072).
     grid_max_cap: int = 768  # fall back to brute beyond this occupancy
     # Multi-device: "auto" shards target points over all local devices
     # (psum-merged pair stats, parallel.icp_shard) whenever more than
@@ -73,7 +80,13 @@ class SequenceRegistration:
         keeps a kd-tree resident per scan, basicScan.cc:702-728; the
         round-2 driver rebuilt + re-uploaded the metascan model on the
         host every match, 15 ms/iter of overhead)."""
-        key = (tuple(id(s) for s in scans), self.params)
+        key = (
+            tuple(
+                (s.identifier, s.generation, len(s.reduced_local()))
+                for s in scans
+            ),
+            self.params,
+        )
         prep = getattr(self, "_prep", None)
         if prep is not None and prep["key"] == key:
             return prep
@@ -102,10 +115,21 @@ class SequenceRegistration:
         else:
             normals_pad = np.zeros((1, 1, 3), np.float32)  # unused dummy
 
-        total = int(masks.sum())
+        grid_min = self.grid_min_model
+        if grid_min is None:
+            import jax as _jax
+
+            grid_min = (
+                2_000_000 if _jax.default_backend() == "tpu" else 131072
+            )
+        # largest model window any match of this run can see
+        if self.metascan:
+            win_max = self.max_num_metascans or S
+        else:
+            win_max = 1
         grid_buckets = grid_cap = 0
         use_grid = self.nns == "grid" or (
-            self.nns == "auto" and total >= self.grid_min_model
+            self.nns == "auto" and win_max * cap >= grid_min
         )
         if use_grid and self.params.pairing != "along_normal":
             from ..ops import nn as nn_ops
@@ -137,6 +161,7 @@ class SequenceRegistration:
             has_normals=need_normals,
             grid_buckets=grid_buckets,
             grid_cap=grid_cap,
+            grid_min=grid_min,
         )
         self._prep = prep
         return prep
@@ -193,15 +218,28 @@ class SequenceRegistration:
             if mesh is not None:
                 from ..parallel import icp_shard
 
-                return icp_shard.icp_pair_seq_sharded(mesh, *args, **kw)
+                return icp_shard.icp_pair_seq_sharded(
+                    mesh, *args, **kw, window_cap=window_cap
+                )
             return icp_mod.icp_pair_seq(*args, **kw, window_cap=window_cap)
 
+        # per-match engine choice from the ACTUAL model-window size
+        # (window_cap scans x cap points) — never the whole-sequence
+        # total (round-3 regression: the grid fired for 1-scan windows)
+        gb, gc = prep["grid_buckets"], prep["grid_cap"]
+        if self.nns == "auto" and window_cap * prep["cap"] < prep["grid_min"]:
+            gb = gc = 0
         with metrics.time(MATCHING):
-            res = match(prep["grid_buckets"], prep["grid_cap"])
-            if prep["grid_buckets"] and int(res.maxocc) > prep["grid_cap"]:
+            res = match(gb, gc)
+            if gb and int(res.maxocc) > gc:
                 # hash overflow: exactness guard — redo with brute NN
                 res = match(0, 0)
-            res = icp_mod.IcpResult(*jax.tree_util.tree_map(np.asarray, res))
+            # ONE device->host transfer for the whole result (the
+            # tunnel cannot overlap per-leaf fetches: 5 leaves cost 5
+            # round trips — most of round-3's per-match wall time)
+            res = icp_mod.unpack_result(
+                np.asarray(icp_mod.pack_result(res))
+            )
         T_new = np.asarray(res.T, dtype=np.float64)
         # orthonormalize the accumulated f32 rotation before storing
         R = T_new[:3, :3]

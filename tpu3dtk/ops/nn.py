@@ -57,8 +57,16 @@ def nn_brute_auto(query, qmask, model, mmask, max_dist2):
 
 
 def _pairwise_d2(q, m):
-    """[Q,3],[M,3] -> [Q,M] squared distances via MXU matmul."""
-    cross = jnp.dot(q, m.T, preferred_element_type=jnp.float32)
+    """[Q,3],[M,3] -> [Q,M] squared distances via MXU matmul.
+
+    precision=HIGHEST is load-bearing: the default bf16 MXU pass mis-
+    ranks ~37% of neighbors at cm-scale extents (±500 cm centered ⇒
+    d² error ~10³ cm² > the 625 cm² match gate); 6-pass f32 is exact
+    and only ~1.7x slower (measured on v5e, 16k x 16k)."""
+    cross = jnp.dot(
+        q, m.T, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     q2 = jnp.sum(q * q, axis=1, keepdims=True)
     m2 = jnp.sum(m * m, axis=1, keepdims=True).T
     return q2 + m2 - 2.0 * cross
@@ -137,12 +145,18 @@ def nn_brute_line(query, qdir, qmask, model, mmask, max_dist2, q_tile: int = 102
 
     def one_tile(args):
         qt, dt = args
-        cross = jnp.dot(qt, mc.T, preferred_element_type=jnp.float32)
+        cross = jnp.dot(
+            qt, mc.T, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
         q2 = jnp.sum(qt * qt, axis=1, keepdims=True)
         d2 = q2 + m2 - 2.0 * cross
         # projection: ((q - m)·dir)² = (q·dir - m·dir)²
         qd = jnp.sum(qt * dt, axis=1, keepdims=True)
-        md = jnp.dot(dt, mc.T, preferred_element_type=jnp.float32)
+        md = jnp.dot(
+            dt, mc.T, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
         proj = qd - md
         d2l = d2 - proj * proj + minf
         idx = jnp.argmin(d2l, axis=1).astype(jnp.int32)

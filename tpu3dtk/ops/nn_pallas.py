@@ -214,6 +214,9 @@ def _run_kernel(table, query_sorted, model_sorted, RB, chunk, W, interpret=False
         cross = jax.lax.dot_general(
             qc, cc, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            # exact-f32 ranking (6-pass); default bf16 mis-ranks at
+            # cm-scale extents — see ops.nn._pairwise_d2
+            precision=jax.lax.Precision.HIGHEST,
         )  # [T, 9RB]
         c2 = jnp.sum(cc * cc, axis=0, keepdims=True)  # [1, 9RB]
         d2 = c2 - 2.0 * cross  # ranking score (d^2 - |q|^2)
@@ -328,7 +331,10 @@ def _nn_mxu_kernel(q_ref, m_ref, idx_ref, d2_ref, best_d2, best_ix, *, TM):
     q = q_ref[...]  # [8, TQ] rows 0-2 = xyz (centered), rest 0
     m = m_ref[...]  # [8, TM]
     cross = jax.lax.dot_general(
-        q, m, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        q, m, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        # exact-f32 ranking (6-pass); default bf16 mis-ranks at cm-scale
+        # extents — see ops.nn._pairwise_d2 (measured 1.6x cost on v5e)
+        precision=jax.lax.Precision.HIGHEST,
     )  # [TQ, TM]
     m2 = jnp.sum(m * m, axis=0, keepdims=True)  # [1, TM]
     score = m2 - 2.0 * cross  # d2 - |q|2: same argmin
@@ -394,13 +400,24 @@ def nn_brute_mxu(
     ) / jnp.maximum(jnp.sum(mmask), 1)
     Qpad = _round_up(max(Q, TQ), TQ)
     Mpad = _round_up(max(M, TM), TM)
+    qc = query - center
     qT = jnp.zeros((8, Qpad), jnp.float32)
-    qT = qT.at[:3, :Q].set((query - center).T)
-    # masked + pad model columns sit at 1e6: score ~1e12, never wins
-    mc = jnp.where(mmask[:, None], model - center, jnp.float32(1e6))
+    qT = qT.at[:3, :Q].set(qc.T)
+    # masked + pad model columns sit at a sentinel derived from the
+    # data's actual centered extent (10x the combined model+query
+    # extent): its score 3s² − 2q·(s,s,s) then always exceeds any real
+    # candidate's, for multi-km clouds too (a fixed 1e6 sentinel loses
+    # once coordinates approach it and would silently drop valid pairs).
+    mcen = jnp.where(mmask[:, None], model - center, 0.0)
+    ext = jnp.maximum(
+        jnp.max(jnp.abs(mcen)),
+        jnp.max(jnp.abs(jnp.where(qmask[:, None], qc, 0.0))),
+    )
+    sentinel = 10.0 * ext + jnp.float32(1e3)
+    mc = jnp.where(mmask[:, None], model - center, sentinel)
     mT = jnp.full((8, Mpad), jnp.float32(0.0))
     mT = mT.at[:3, :M].set(mc.T)
-    mT = mT.at[:3, M:].set(1e6)
+    mT = mT.at[:3, M:].set(sentinel)
     interpret = jax.default_backend() != "tpu"
     idx, _score = _nn_mxu_call(qT, mT, TQ, TM, interpret=interpret)
     idx = jnp.clip(idx[:Q], 0, M - 1)

@@ -96,6 +96,19 @@ def icp_pair_sharded(
     size (pad first).
     """
     have_normals = target_normals_local is not None
+    # the hash is built in a SEPARATE jit on the replicated model and
+    # enters the shard_map body as a parameter — built inline it would
+    # put the candidate gather on XLA's serial path (the measured
+    # ~10,000x slowdown documented at models.icp._build_grid_inline)
+    grid = None
+    occ = None
+    if grid_buckets > 0 and pairing != "along_normal":
+        from ..models.icp import build_match_grid
+
+        grid, occ = build_match_grid(
+            jnp.asarray(model, jnp.float32), jnp.asarray(mmask),
+            jnp.float32(max_dist_match2), n_buckets=int(grid_buckets),
+        )
     fn = _sharded_icp_fn(
         mesh,
         axis,
@@ -107,20 +120,34 @@ def icp_pair_sharded(
         int(seed),
         pairing,
         have_normals,
-        int(grid_buckets),
+        grid is not None,
         int(grid_bucket_cap),
     )
     if not have_normals:
         # dummy sharded arg keeps one code path
         target_normals_local = jnp.zeros_like(jnp.asarray(target_local))
-    return fn(
+    if grid is None:
+        from ..ops.nn import CellHash
+
+        grid = CellHash(
+            points=jnp.zeros((1, 3), jnp.float32),
+            src_idx=jnp.zeros((1,), jnp.int32),
+            bucket_start=jnp.zeros((2,), jnp.int32),
+            origin=jnp.zeros((3,), jnp.float32),
+            cell=jnp.float32(1.0),
+        )
+    res = fn(
         jnp.asarray(model, jnp.float32),
         jnp.asarray(mmask),
         jnp.asarray(target_local, jnp.float32),
         jnp.asarray(tmask),
         jnp.asarray(T0, jnp.float32),
         jnp.asarray(target_normals_local, jnp.float32),
+        grid,
     )
+    if occ is not None:
+        res = res._replace(maxocc=occ)
+    return res
 
 
 @functools.lru_cache(maxsize=64)
@@ -135,19 +162,16 @@ def _sharded_icp_fn(
     seed,
     pairing,
     have_normals,
-    grid_buckets,
+    have_grid,
     grid_bucket_cap,
 ):
     """Build + cache the jitted shard_map ICP for one static config, so
-    repeated matches reuse the XLA compile cache."""
-    from ..models.icp import _build_grid_inline, _icp_pair_impl
+    repeated matches reuse the XLA compile cache.  The cell hash (when
+    used) arrives as a replicated PARAMETER — see icp_pair_sharded."""
+    from ..models.icp import _icp_pair_impl
+    from ..ops.nn import CellHash
 
-    def shard_fn(model, mmask, tgt, tmsk, T0, normals):
-        grid = None
-        if grid_buckets > 0 and pairing != "along_normal":
-            grid, _occ = _build_grid_inline(
-                model, mmask, jnp.float32(max_dist_match2), grid_buckets
-            )
+    def shard_fn(model, mmask, tgt, tmsk, T0, normals, grid):
         return _icp_pair_impl(
             model, mmask, tgt, tmsk, T0,
             max_dist_match2=max_dist_match2,
@@ -158,15 +182,21 @@ def _sharded_icp_fn(
             seed=seed,
             pairing=pairing,
             target_normals_local=normals if have_normals else None,
-            grid=grid,
+            grid=grid if have_grid else None,
             grid_bucket_cap=grid_bucket_cap,
             axis_name=axis,
         )
 
+    grid_spec = CellHash(
+        points=P(), src_idx=P(), bucket_start=P(), origin=P(), cell=P()
+    )
     fn = shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(), P(), P(axis, None), P(axis), P(), P(axis, None)),
+        in_specs=(
+            P(), P(), P(axis, None), P(axis), P(), P(axis, None),
+            grid_spec,
+        ),
         out_specs=P(),
         check_vma=False,
     )
@@ -245,18 +275,21 @@ def icp_pair_seq_sharded(
     grid_buckets: int = 0,
     grid_bucket_cap: int = 0,
     axis: str = "points",
+    window_cap: int = 0,
 ) -> IcpResult:
     """Sequence-resident sharded match (models.icp.icp_pair_seq under
     shard_map): sequence tensors replicated, each device takes its
     1/n_dev slice of the target scan, pair stats psum over ICI every
-    iteration.  N must be divisible by the axis size."""
+    iteration.  N must be divisible by the axis size.  ``window_cap``
+    bounds the model window exactly as in icp_pair_seq (without it a
+    non-metascan match would pay the full-sequence O(S*N) model)."""
     from ..models.icp import _icp_pair_seq_impl
 
     n_dev = mesh.devices.size
     fn = _seq_sharded_fn(
         mesh, axis, int(max_iterations), minimizer, int(subsample),
         pairing, bool(has_normals), int(grid_buckets),
-        int(grid_bucket_cap), n_dev,
+        int(grid_bucket_cap), n_dev, int(window_cap),
     )
     return fn(
         jnp.asarray(locals_all, jnp.float32),
@@ -273,7 +306,7 @@ def icp_pair_seq_sharded(
 @functools.lru_cache(maxsize=64)
 def _seq_sharded_fn(mesh, axis, max_iterations, minimizer, subsample,
                     pairing, has_normals, grid_buckets, grid_bucket_cap,
-                    n_dev):
+                    n_dev, window_cap=0):
     from ..models.icp import _icp_pair_seq_impl
 
     def shard_fn(lp, mk, nm, mt, lo, hi, ti, T0, md2, eps, seed):
@@ -283,7 +316,7 @@ def _seq_sharded_fn(mesh, axis, max_iterations, minimizer, subsample,
             subsample=subsample, pairing=pairing,
             has_normals=has_normals, grid_buckets=grid_buckets,
             grid_bucket_cap=grid_bucket_cap,
-            axis_name=axis, n_shards=n_dev,
+            axis_name=axis, n_shards=n_dev, window_cap=window_cap,
         )
 
     fn = shard_map(
