@@ -39,6 +39,19 @@ _config.update(
     _os.environ.get("TPU3DTK_MATMUL_PRECISION", "highest"),
 )
 
+# Persistent XLA compilation cache: one-shot CLI runs pay tens of
+# seconds of compiles for the jitted registration programs; caching
+# them across processes makes every run after the first fast (verified
+# to work through the remote-device tunnel).  Set TPU3DTK_XLA_CACHE=""
+# to disable, or point it at a different directory.
+_cache_dir = _os.environ.get(
+    "TPU3DTK_XLA_CACHE",
+    _os.path.join(_os.path.expanduser("~"), ".cache", "tpu3dtk", "xla"),
+)
+if _cache_dir:
+    _config.update("jax_compilation_cache_dir", _cache_dir)
+    _config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from . import core, io, ops, models, parallel, utils  # noqa: E402,F401
 
 __version__ = "0.1.0"

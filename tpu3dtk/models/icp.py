@@ -480,6 +480,105 @@ def icp_pair_seq(
     return res._replace(maxocc=occ)
 
 
+def _orthonormalize_rot(T):
+    """Two Newton steps R <- R(3I - RᵀR)/2: re-orthonormalizes a
+    near-rotation in-place of the host SVD (traceable, converges
+    quadratically — accumulated f32 drift per match is ~1e-6)."""
+    R = T[:3, :3]
+    eye = jnp.eye(3, dtype=T.dtype)
+    for _ in range(2):
+        R = R @ (1.5 * eye - 0.5 * (R.T @ R))
+    return T.at[:3, :3].set(R)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "metascan", "extrapolate", "window_cap", "max_iterations",
+        "minimizer", "subsample", "pairing", "has_normals",
+    ),
+)
+def register_sequence_device(
+    locals_all,    # [S, N, 3] f32 reduced points, local frames
+    masks_all,     # [S, N] bool
+    normals_all,   # [S, N, 3] f32 (dummy when has_normals=False)
+    mats_org,      # [S, 4, 4] f32 odometry poses (transMatOrg)
+    mats0,         # [S, 4, 4] f32 current poses (== mats_org for fresh scans)
+    n_scans,       # scalar int32: real scan count (<= S)
+    max_dist_match2,
+    epsilon,
+    *,
+    metascan: bool = False,
+    extrapolate: bool = True,
+    window_cap: int = 1,
+    max_iterations: int = 50,
+    minimizer: str = "quat",
+    subsample: int = 1,
+    pairing: str = "closest_point",
+    has_normals: bool = False,
+):
+    """The WHOLE sequential registration on device: one jitted fori_loop
+    over scans, each step = odometry extrapolation + a full ICP
+    while_loop match against the resident model window + pose update —
+    the TPU-native ``icp6D::doICP`` (icp6D.cc:374-437) with zero host
+    round trips per match (the per-match device→host fetch costs a full
+    tunnel round trip; at 100 scans that was half the matching time).
+
+    Returns (mats [S,4,4] final poses, errs [S], iters [S], npairs [S]);
+    entry 0 keeps its odometry pose.  The driver replays `.frames`
+    bookkeeping from the pose history afterwards.
+    """
+    S, N = masks_all.shape
+    md2 = jnp.float32(max_dist_match2)
+    eps = jnp.float32(epsilon)
+
+    def step(i, carry):
+        mats, errs, iters, npairs = carry
+        prev = mats[i - 1]
+        if extrapolate:
+            # deltaMat = prev.transMat @ inv(prev.transMatOrg), applied
+            # to the target's current pose (scan.cc:826-833)
+            delta = prev @ _rigid_inv_f32(mats_org[i - 1])
+            T0 = delta @ mats[i]
+        else:
+            T0 = mats[i]
+        lo = jnp.where(jnp.bool_(metascan), 0, i - 1).astype(jnp.int32)
+        res = _icp_pair_seq_impl(
+            locals_all, masks_all, normals_all, mats,
+            lo, i, i, T0, md2, eps, i,
+            max_iterations=max_iterations, minimizer=minimizer,
+            subsample=subsample, pairing=pairing,
+            has_normals=has_normals,
+            window_cap=window_cap,
+        )
+        T_new = _orthonormalize_rot(res.T)
+        live = i < n_scans
+        mats = mats.at[i].set(jnp.where(live, T_new, mats[i]))
+        errs = errs.at[i].set(res.error)
+        iters = iters.at[i].set(res.iterations)
+        npairs = npairs.at[i].set(res.n_pairs)
+        return mats, errs, iters, npairs
+
+    init = (
+        mats0.astype(jnp.float32),
+        jnp.zeros(S, jnp.float32),
+        jnp.zeros(S, jnp.int32),
+        jnp.zeros(S, jnp.float32),
+    )
+    return jax.lax.fori_loop(1, S, step, init)
+
+
+def _rigid_inv_f32(T):
+    """Inverse of a rigid 4x4 (Rᵀ, -Rᵀt), traceable."""
+    R = T[:3, :3]
+    t = T[:3, 3]
+    Rt = R.T
+    ti = -(Rt @ t)
+    top = jnp.concatenate([Rt, ti[:, None]], axis=1)
+    bot = jnp.asarray([[0.0, 0.0, 0.0, 1.0]], top.dtype)
+    return jnp.concatenate([top, bot], axis=0)
+
+
 @jax.jit
 def pack_result(res: IcpResult) -> jnp.ndarray:
     """Pack an IcpResult into ONE [20] f32 vector on device so drivers

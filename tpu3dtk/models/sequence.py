@@ -68,10 +68,82 @@ class SequenceRegistration:
 
     def run(self, scans: list[TPUScan]) -> list[dict]:
         """Register scans sequentially.  Mutates scan poses and frames.
-        Returns per-match info dicts."""
+        Returns per-match info dicts.
+
+        Fast path: when no caller needs per-match poses (that is, the
+        whole sequence is registered in one go — unlike GraphPipeline,
+        whose loop detection must observe every new pose), the ENTIRE
+        loop runs on device in one jitted fori_loop
+        (icp.register_sequence_device): zero host round trips per match,
+        one fetch at the end.  Falls back to per-match run_single under
+        a mesh or when the hashed-grid engine is selected."""
         if not scans:
             return []
+        prep = self._prepare(scans)
+        win_max = (
+            (self.max_num_metascans or len(scans)) if self.metascan else 1
+        )
+        use_device_loop = (
+            prep["mesh"] is None
+            and not (
+                prep["grid_buckets"]
+                and (
+                    self.nns == "grid"
+                    or win_max * prep["cap"] >= prep["grid_min"]
+                )
+            )
+        )
+        if use_device_loop:
+            return self._run_device(scans, prep, win_max)
         return [self.run_single(scans, i) for i in range(1, len(scans))]
+
+    def _run_device(self, scans: list[TPUScan], prep: dict, win_max: int):
+        import jax.numpy as jnp
+
+        from ..utils.metrics import MATCHING, metrics
+
+        S = len(scans)
+        mats_org = np.stack([s.transMatOrg for s in scans]).astype(np.float32)
+        mats0 = np.stack([s.transMat for s in scans]).astype(np.float32)
+        with metrics.time(MATCHING):
+            mats, errs, iters, npairs = icp_mod.register_sequence_device(
+                prep["locals"], prep["masks"], prep["normals"],
+                jnp.asarray(mats_org), jnp.asarray(mats0), jnp.int32(S),
+                self.params.max_dist_match2, self.params.epsilon,
+                metascan=self.metascan,
+                extrapolate=self.extrapolate_odometry,
+                window_cap=win_max,
+                max_iterations=self.params.max_iterations,
+                minimizer=self.params.minimizer,
+                subsample=self.params.subsample,
+                pairing=self.params.pairing,
+                has_normals=prep["has_normals"],
+            )
+            mats, errs, iters, npairs = jax.device_get(
+                (mats, errs, iters, npairs)
+            )
+        # replay frames bookkeeping: one match event per scan i (the
+        # loop body of doICP — same records run_single writes)
+        infos = []
+        for i in range(1, S):
+            cur = scans[i]
+            T_new = np.asarray(mats[i], np.float64)
+            u, _, vt = np.linalg.svd(T_new[:3, :3])
+            T_new[:3, :3] = u @ vt
+            cur.set_pose(T_new, AlgoType.ICP)
+            for j, other in enumerate(scans):
+                if other is cur:
+                    continue
+                other.add_frame(
+                    AlgoType.ICPINACTIVE if j < i else AlgoType.INVALID
+                )
+            infos.append({
+                "identifier": cur.identifier,
+                "iterations": int(iters[i]),
+                "error": float(errs[i]),
+                "pairs": int(npairs[i]),
+            })
+        return infos
 
     def _prepare(self, scans: list[TPUScan]) -> dict:
         """Upload the sequence ONCE as resident [S, N, 3] device tensors
