@@ -86,11 +86,36 @@ def build_parser() -> argparse.ArgumentParser:
         "--prefetch", type=int, default=2,
         help="scans to read ahead in background threads (0 disables)",
     )
+    p.add_argument(
+        "--distributed", action="store_true",
+        help="multi-host execution: join the jax.distributed job "
+        "(JAX_COORDINATOR/NPROC/PROC_ID env vars), host-shard scan "
+        "ingest+reduction, shard the LUM link loop over the global "
+        "hosts x points mesh (G/B psum rides DCN)",
+    )
     return p
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+
+    # TPU3DTK_PLATFORM=cpu forces the backend (the axon sitecustomize
+    # overrides the JAX_PLATFORMS env var, so this must go through
+    # jax.config — before anything initialises the backend)
+    plat = os.environ.get("TPU3DTK_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
+    dist = None
+    hosts_mesh = None
+    if args.distributed:
+        # must run before anything touches the XLA backend
+        from ..parallel import distributed as dist
+
+        dist.initialize()
+        hosts_mesh = dist.host_device_mesh(("hosts", "points"))
 
     from ..core.scan import TPUScan
     from ..io import frames as frames_io
@@ -104,7 +129,15 @@ def main(argv=None) -> int:
         range_min=args.min_range if args.min_range > 0 else None,
     )
     with metrics.time(SCAN_LOAD):
-        if args.prefetch > 0:
+        if args.distributed:
+            scans = dist.distributed_ingest(
+                args.dir, format=args.format, start=args.start,
+                end=args.end, point_filter=pf,
+                reduce_voxel=args.reduce,
+                octree_n=args.octree if args.reduce > 0 else 0,
+                mesh=hosts_mesh,
+            )
+        elif args.prefetch > 0:
             from ..io.cache import prefetch_scans
 
             raw_iter = prefetch_scans(
@@ -116,20 +149,23 @@ def main(argv=None) -> int:
                 args.dir, format=args.format, start=args.start,
                 end=args.end, point_filter=pf,
             )
-        scans = []
-        for raw in raw_iter:
-            s = TPUScan.from_raw(raw)
-            s.set_reduction(args.reduce, args.octree if args.reduce > 0 else 0)
-            if args.continue_processing:
-                # resume from the last .frames pose (ref slam6D.cc:628,
-                # Scan::continueProcessing, basicScan.cc:902-945)
-                fp = frames_io.frames_path(args.dir, s.identifier)
-                if os.path.exists(fp):
-                    T = frames_io.final_pose(fp)
-                    s.transMat = np.asarray(T)
-                    s.transMatOrg = np.asarray(T)
-                    s.dalignxf = np.eye(4)
-            scans.append(s)
+        if not args.distributed:
+            scans = []
+            for raw in raw_iter:
+                s = TPUScan.from_raw(raw)
+                s.set_reduction(
+                    args.reduce, args.octree if args.reduce > 0 else 0
+                )
+                if args.continue_processing:
+                    # resume from the last .frames pose (ref slam6D.cc:628,
+                    # Scan::continueProcessing, basicScan.cc:902-945)
+                    fp = frames_io.frames_path(args.dir, s.identifier)
+                    if os.path.exists(fp):
+                        T = frames_io.final_pose(fp)
+                        s.transMat = np.asarray(T)
+                        s.transMatOrg = np.asarray(T)
+                        s.dalignxf = np.eye(4)
+                scans.append(s)
     if not scans:
         print(f"no scans found in {args.dir}", file=sys.stderr)
         return 1
@@ -150,10 +186,21 @@ def main(argv=None) -> int:
         pairing=pairing,
     )
     out_dir = args.frames_out or args.dir
+    # multi-host: matching is replicated (mesh=None — a per-ICP-
+    # iteration psum over DCN would be latency-bound), the LUM link
+    # loop shards over the global hosts x points mesh
+    seq_mesh = None if args.distributed else "auto"
+    lum_mesh = hosts_mesh if args.distributed else "auto"
 
     def save_frames():
         """Persist pose logs; also invoked on crash/interrupt so partial
-        registration survives (ref slam6D.cc:92-112 signal handler)."""
+        registration survives (ref slam6D.cc:92-112 signal handler).
+        Multi-host: process 0 writes (results are replicated)."""
+        if args.distributed:
+            import jax
+
+            if jax.process_index() != 0:
+                return
         try:
             for s in scans:
                 if not s.frames:
@@ -186,7 +233,9 @@ def main(argv=None) -> int:
             # given links (bremen_city workflow, README.md:97-103)
             from ..models import graphslam as gs
 
-            reg = SequenceRegistration(params=params, metascan=args.metascan)
+            reg = SequenceRegistration(
+                params=params, metascan=args.metascan, mesh=seq_mesh
+            )
             results = reg.run(scans)
             links = gs.read_net_graph(args.net)
             gs.do_graph_slam(
@@ -195,6 +244,7 @@ def main(argv=None) -> int:
                     max_dist_match2=args.distSLAM**2 if args.distSLAM > 0 else args.dist**2,
                     iterations=args.iterSLAM,
                     epsilon=args.epsSLAM,
+                    mesh=lum_mesh,
                 ),
             )
         elif args.graphSlam6DAlgo > 0 or args.loop6DAlgo > 0:
@@ -211,10 +261,14 @@ def main(argv=None) -> int:
                 cldist=args.cldist,
                 loopsize=args.loopsize,
                 slam_algo=max(args.graphSlam6DAlgo, 1),
+                seq_mesh=seq_mesh,
+                lum_mesh=lum_mesh,
             )
             results = pipe.run(scans)
         else:
-            reg = SequenceRegistration(params=params, metascan=args.metascan)
+            reg = SequenceRegistration(
+                params=params, metascan=args.metascan, mesh=seq_mesh
+            )
             results = reg.run(scans)
     dt = (time.perf_counter() - t0) * 1000.0
     for r in results:

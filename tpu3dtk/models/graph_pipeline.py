@@ -40,6 +40,11 @@ class GraphPipeline:
     mdmll: float = -1.0  # --DlastSLAM (final pass match distance)
     graph_dist: float = -1.0  # --graphDist (final pass graph distance)
     slam_algo: int = 1  # -G: 1 lum6DEuler, 2 lum6DQuat, 3 ghelix6DQ2, 4 gapx6D
+    # meshes: "auto" = per-driver default; the distributed CLI pins
+    # seq_mesh=None (replicated matching) and lum_mesh=the global
+    # hosts x points mesh (link loop sharded, G/B psum over DCN)
+    seq_mesh: object = "auto"
+    lum_mesh: object = "auto"
 
     def _do_graph_slam(self, scans, links, params):
         if self.slam_algo in (0, 1):
@@ -60,6 +65,7 @@ class GraphPipeline:
             scan_cap=self._scan_cap,
             device_points=self._device_points,
             grid=self._grid_specs.get(max_dist2),
+            mesh=self.lum_mesh,
         )
         return p
 
@@ -89,7 +95,8 @@ class GraphPipeline:
         edges: list[tuple[int, int]] = []
         self._prepare_statics(scans)
         seq = SequenceRegistration(
-            params=self.icp_params, metascan=self.metascan
+            params=self.icp_params, metascan=self.metascan,
+            mesh=self.seq_mesh,
         )
         loop_state = 0
         min_dist = -1.0

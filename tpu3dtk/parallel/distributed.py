@@ -70,7 +70,12 @@ def initialize(
     num_processes = num_processes or int(os.environ.get("NPROC", "1"))
     if num_processes <= 1:
         return False
-    if jax.process_count() > 1:  # already initialized
+    # NOTE: must not call jax.process_count() here — it would initialise
+    # the XLA backend, after which jax.distributed.initialize refuses to
+    # run.  The distributed client's own state is the only safe probe.
+    from jax._src import distributed as _dist_state
+
+    if _dist_state.global_state.client is not None:  # already initialized
         return True
     coordinator_address = coordinator_address or os.environ.get(
         "JAX_COORDINATOR", "localhost:8476"
@@ -124,6 +129,100 @@ def host_device_mesh(
         n_hosts = 1
     arr = np.array(devs).reshape(max(n_hosts, 1), -1)
     return Mesh(arr, axes)
+
+
+def allsum_hosts(mesh: Mesh, local_block: np.ndarray) -> np.ndarray:
+    """Sum each host's contribution into a replicated array (ONE DCN
+    all-reduce).  local_block: this host's [.,...] numpy block; all
+    hosts must pass the same shape.  Single-host: identity."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if jax.process_count() == 1:
+        return np.asarray(local_block)
+    spec = P(mesh.axis_names[0], *([None] * local_block.ndim))
+    sharding = NamedSharding(mesh, spec)
+    glob = jax.make_array_from_process_local_data(
+        sharding, np.asarray(local_block)[None]
+    )
+    out = jax.jit(
+        lambda a: jnp.sum(a, axis=0),
+        out_shardings=NamedSharding(mesh, P()),
+    )(glob)
+    return np.asarray(jax.device_get(out))
+
+
+def distributed_ingest(
+    directory: str,
+    format: str = "uos",
+    start: int = 0,
+    end: int = -1,
+    point_filter=None,
+    reduce_voxel: float = -1.0,
+    octree_n: int = 1,
+    mesh: Mesh | None = None,
+    pad_multiple: int = 512,
+):
+    """Host-sharded scan ingest (the DCN-era scanserver role, SURVEY
+    §2.8): each host reads + reduces ONLY its contiguous range of the
+    sequence, then the reduced point sets are exchanged with one DCN
+    all-reduce so every host ends with the full sequence resident.
+
+    Returns list[TPUScan].  Non-owned scans carry their pose (read from
+    the cheap .pose files) and the exchanged reduced points, but not
+    the raw channels — operations needing full-resolution points
+    (e.g. --exportAllPoints) only work on this host's own range.
+    """
+    from ..core.scan import TPUScan
+    from ..io.scandir import (
+        _POSE_READERS, get_format, list_identifiers, read_scan,
+    )
+
+    spec = get_format(format)
+    idents = list(list_identifiers(directory, spec, start, end))
+    S = len(idents)
+    lo, hi = host_scan_range(S)
+    if mesh is None:
+        mesh = host_device_mesh(("hosts", "points"))
+
+    scans: list[TPUScan] = []
+    for k, ident in enumerate(idents):
+        if lo <= k < hi:
+            raw = read_scan(directory, ident, spec, point_filter)
+            s = TPUScan.from_raw(raw)
+            s.set_reduction(reduce_voxel, octree_n if reduce_voxel > 0 else 0)
+            s.reduced_local()
+        else:
+            pose_path = os.path.join(
+                directory, f"{spec.pose_prefix}{ident}{spec.pose_suffix}"
+            )
+            if os.path.exists(pose_path):
+                pos, theta = _POSE_READERS[spec.pose_reader](pose_path)
+            else:
+                pos = np.zeros(3)
+                theta = np.zeros(3)
+            from ..core import math3d
+
+            T = np.asarray(math3d.pose_to_matrix(pos, np.rad2deg(theta)))
+            s = TPUScan.from_points(np.zeros((0, 3)), ident, pose=T)
+        scans.append(s)
+
+    # exchange reduced point counts, then the padded point blocks
+    counts = np.zeros(S, np.float32)
+    for k in range(lo, hi):
+        counts[k] = len(scans[k].reduced_local())
+    counts = allsum_hosts(mesh, counts).astype(np.int64)
+    cap = int(counts.max()) if S else 0
+    cap = ((cap + pad_multiple - 1) // pad_multiple) * pad_multiple
+    block = np.zeros((S, max(cap, pad_multiple), 3), np.float32)
+    for k in range(lo, hi):
+        r = scans[k].reduced_local()
+        block[k, : len(r)] = r
+    block = allsum_hosts(mesh, block)
+    for k, s in enumerate(scans):
+        if not (lo <= k < hi):
+            s._reduced_local = block[k, : counts[k]].astype(np.float64)
+    return scans
 
 
 def global_scan_array(mesh: Mesh, local_block: np.ndarray, axis: int = 0):

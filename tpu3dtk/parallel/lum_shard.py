@@ -32,7 +32,7 @@ def link_covariances_sharded(
     masks,
     links,
     max_dist2: float,
-    axis: str = "points",
+    axis: str | tuple | None = None,
     chunk: int = 4,
     n_buckets: int = 0,
     bucket_cap: int = 0,
@@ -49,6 +49,8 @@ def link_covariances_sharded(
     bucket_cap and the caller must redo with brute.  Returns numpy
     (C [L,6,6], CD [L,6], m [L], overflow bool).
     """
+    if axis is None:
+        axis = tuple(mesh.axis_names)
     n_dev = mesh.devices.size
     L = len(links)
     Lpad = ((L + n_dev - 1) // n_dev) * n_dev
@@ -132,7 +134,7 @@ def lum_run_sharded(
     iterations: int,
     chunk: int = 4,
     bucket_cap: int = 0,
-    axis: str = "points",
+    axis: str | tuple | None = None,
 ):
     """The ENTIRE on-device LUM relaxation (models.lum_device.lum_run)
     under shard_map with the LINK slots sharded over ``axis``: each
@@ -144,6 +146,10 @@ def lum_run_sharded(
     lum6Deuler.cc:270-303)."""
     from ..models.lum_device import lum_run
 
+    if axis is None:
+        # shard links over EVERY mesh axis (a multi-host hosts x points
+        # mesh then carries the G/B psum across DCN once per iteration)
+        axis = tuple(mesh.axis_names)
     ax = axis if isinstance(axis, tuple) else (axis,)
     n_dev = 1
     for a in ax:
