@@ -1,0 +1,75 @@
+"""Offscreen viewer tests (the show counterpart: ops.render z-buffer
+splat + io.png codec + cli.show driver; ref src/show/)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from tpu3dtk.io.png import read_png, write_png
+from tpu3dtk.ops import render
+from tests.conftest import make_room_cloud
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_png_roundtrip(tmp_path, rng):
+    img = rng.integers(0, 256, (33, 47, 3), dtype=np.uint8)
+    p = str(tmp_path / "t.png")
+    write_png(p, img)
+    back = read_png(p)
+    assert (back == img).all()
+
+
+def test_render_occlusion_and_projection():
+    """A near point must occlude a far point on the same pixel, and
+    projection must place a centered point at the image center."""
+    # camera at origin looking down +z
+    pose = np.eye(4)
+    pts = np.array([[0.0, 0.0, 100.0], [0.0, 0.0, 50.0]])
+    colors = np.array([[255, 0, 0], [0, 255, 0]], np.uint8)
+    img, depth = render.render_points(
+        pts, pose, colors=colors, width=64, height=64, fov_deg=60.0
+    )
+    c = img[32, 32]
+    assert tuple(c) == (0, 255, 0), c  # near (green) wins
+    assert abs(depth[32, 32] - 50.0) < 1e-3
+    # everything else empty
+    assert np.isnan(depth).sum() == 64 * 64 - 1
+
+
+def test_render_covers_scene(rng):
+    pts = make_room_cloud(rng, n=5000, size=500.0)
+    pose = render.orbit_pose(pts.mean(0), 900.0, azimuth_deg=30.0)
+    img, depth = render.render_points(pts, pose, width=160, height=120)
+    cover = np.isfinite(depth).mean()
+    assert cover > 0.05, cover  # scene visible
+    assert img.max() > 0
+
+
+def test_render_deterministic(rng):
+    pts = make_room_cloud(rng, n=2000, size=400.0)
+    pose = render.orbit_pose(pts.mean(0), 800.0, azimuth_deg=75.0)
+    a, _ = render.render_points(pts, pose, width=96, height=96)
+    b, _ = render.render_points(pts, pose, width=96, height=96)
+    assert (a == b).all()
+
+
+@pytest.mark.slow
+def test_show_cli_end_to_end(tmp_path, dat_dir):
+    out = str(tmp_path / "views")
+    env = dict(os.environ, TPU3DTK_PLATFORM="cpu", PYTHONPATH=REPO)
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "tpu3dtk.cli.show",
+            "-m", "2500", "-r", "15", "--orbit", "1", "--animate", "0",
+            "--width", "160", "--height", "120", "-o", out, dat_dir,
+        ],
+        env=env, capture_output=True, timeout=600, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stdout.decode()[-2000:] + r.stderr.decode()[-2000:]
+    img = read_png(os.path.join(out, "orbit000.png"))
+    assert img.shape == (120, 160, 3)
+    assert img.max() > 0  # something rendered

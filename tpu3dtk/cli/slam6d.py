@@ -87,6 +87,16 @@ def build_parser() -> argparse.ArgumentParser:
         help="scans to read ahead in background threads (0 disables)",
     )
     p.add_argument(
+        "--saveOct", dest="save_oct", action="store_true",
+        help="serialize each scan's reduced points as show-compatible "
+        "scanNNN.oct (ref slam6D --saveOct, Boctree.h serialize)",
+    )
+    p.add_argument(
+        "--loadOct", dest="load_oct", action="store_true",
+        help="load reduced points from existing scanNNN.oct instead of "
+        "re-reducing (ref slam6D --loadOct)",
+    )
+    p.add_argument(
         "--distributed", action="store_true",
         help="multi-host execution: join the jax.distributed job "
         "(JAX_COORDINATOR/NPROC/PROC_ID env vars), host-shard scan "
@@ -156,6 +166,12 @@ def main(argv=None) -> int:
                 s.set_reduction(
                     args.reduce, args.octree if args.reduce > 0 else 0
                 )
+                if args.load_oct:
+                    from ..io.boctree import read_oct
+
+                    op = os.path.join(args.dir, f"scan{s.identifier}.oct")
+                    if os.path.exists(op):
+                        s._reduced_local = read_oct(op)
                 if args.continue_processing:
                     # resume from the last .frames pose (ref slam6D.cc:628,
                     # Scan::continueProcessing, basicScan.cc:902-945)
@@ -281,6 +297,16 @@ def main(argv=None) -> int:
     print(f"Matching done in {dt:.0f} milliseconds!!!")
 
     save_frames()
+
+    if args.save_oct:
+        from ..io.boctree import write_oct
+
+        voxel = args.reduce if args.reduce > 0 else 10.0
+        for s in scans:
+            write_oct(
+                os.path.join(out_dir, f"scan{s.identifier}.oct"),
+                s.reduced_local(), voxel,
+            )
 
     if args.exportAllPoints:
         from ..io.writer import write_uos
