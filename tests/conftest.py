@@ -18,6 +18,11 @@ import os
 
 TEST_PLATFORM = os.environ.get("TPU3DTK_TEST_PLATFORM", "cpu")
 
+# keep the persistent XLA cache out of the test tier: entries compiled
+# by the tunnel-side toolchain carry machine features the local CPU
+# lacks (AOT loader warns about possible SIGILL)
+os.environ.setdefault("TPU3DTK_XLA_CACHE", "")
+
 if TEST_PLATFORM == "cpu":
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
