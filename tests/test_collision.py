@@ -23,3 +23,15 @@ def test_trajectory_collision(rng):
     assert colliding[2]  # model surface within 10cm of wall
     assert colliding[3]  # cube straddles the wall
     assert hits[3] > hits[2] >= 1
+
+
+def test_sweep_collisions(rng):
+    """Swept-segment collision via the kd segment search counterpart."""
+    from tpu3dtk.models.collision import sweep_collisions
+
+    env = rng.uniform(0, 100, (2000, 3))
+    traj = np.array([[0, 50, 50], [100, 50, 50]], np.float64)
+    mask, n = sweep_collisions(env, traj, radius=10.0)
+    d = np.sqrt(((env[:, 1:] - 50.0) ** 2).sum(1))  # distance to the line
+    np.testing.assert_array_equal(mask, d < 10.0)
+    assert n == int((d < 10.0).sum())

@@ -53,3 +53,31 @@ def detect_collisions(
 
     hits = jax.lax.map(one, poses_j, batch_size=params.chunk)
     return np.asarray(hits) > 0, np.asarray(hits)
+
+
+def sweep_collisions(
+    environment: np.ndarray,
+    trajectory: np.ndarray,
+    radius: float,
+):
+    """Swept-path collision: environment points within ``radius`` of ANY
+    segment of the trajectory polyline (the reference's kd segment
+    search used by collision sweeps, kdTreeImpl.h segmentSearch_all).
+
+    trajectory: [P, 3] waypoints.  Returns (mask [N] bool, n_hits int).
+    """
+    import jax.numpy as jnp
+
+    from ..ops import search as search_ops
+
+    env = jnp.asarray(environment, jnp.float32)
+    emask = jnp.ones(len(environment), bool)
+    r2 = jnp.float32(radius**2)
+    hit = np.zeros(len(environment), bool)
+    traj = np.asarray(trajectory, np.float32)
+    for a, b in zip(traj[:-1], traj[1:]):
+        m = search_ops.segment_search_all(
+            jnp.asarray(a), jnp.asarray(b), env, emask, r2
+        )
+        hit |= np.asarray(m)
+    return hit, int(hit.sum())

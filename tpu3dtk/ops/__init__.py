@@ -1,1 +1,1 @@
-from . import nn, reduction  # noqa: F401
+from . import bkd, nn, reduction, search  # noqa: F401
