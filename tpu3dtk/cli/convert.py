@@ -86,6 +86,69 @@ def main(argv=None) -> int:
     s.add_argument("-f", "--format", default="uos")
     s.add_argument("--split", type=int, default=10)
 
+    s = sub.add_parser(
+        "frames2graph",
+        help="final pose per scan as 'x y z qw qx qy qz' lines "
+        "(ref frame_to_graph)",
+    )
+    s.add_argument("dir")
+    s.add_argument("-s", "--start", type=int, default=0)
+    s.add_argument("-e", "--end", type=int, default=-1)
+    s.add_argument("-o", "--out", required=True)
+
+    s = sub.add_parser(
+        "convergence",
+        help="per-frame pose evolution of one scan (ref convergence)",
+    )
+    s.add_argument("dir")
+    s.add_argument("-s", "--scan", type=int, default=0)
+    s.add_argument("-z", "--ctype", choices=("global", "local"), default="global")
+    s.add_argument("-o", "--out", default="convergence.dat")
+
+    s = sub.add_parser(
+        "graphbalancer",
+        help="ELCH weight distribution over a .net pose graph "
+        "(ref graph_balancer)",
+    )
+    s.add_argument("net_file")
+    s.add_argument("-s", "--first", type=int, default=0)
+    s.add_argument("-e", "--last", type=int, default=-1)
+    s.add_argument("-o", "--out", default=None)
+
+    s = sub.add_parser(
+        "sicp",
+        help="align from GIVEN correspondences, no NN search (ref sICP)",
+    )
+    s.add_argument("-g", "--global-file", required=True,
+                   help="target points, one 'x y z' per line")
+    s.add_argument("-l", "--local-file", required=True,
+                   help="source points, row-matched to the target file")
+    s.add_argument("-n", "--nrpoints", type=int, default=-1)
+    s.add_argument("-a", "--algo", default="quat")
+
+    s = sub.add_parser(
+        "scandiff2d",
+        help="top-down color-coded 2D scan difference image "
+        "(ref scan_diff2d)",
+    )
+    s.add_argument("dir")
+    s.add_argument("-f", "--format", default="uos")
+    s.add_argument("-a", "--id-a", type=int, default=0)
+    s.add_argument("-b", "--id-b", type=int, default=1)
+    s.add_argument("-d", "--dist", type=float, default=50.0)
+    s.add_argument("-o", "--out", default="diff2d.png")
+
+    s = sub.add_parser(
+        "scan2features",
+        help="per-point normal+curvature feature files "
+        "(ref scan2features)",
+    )
+    s.add_argument("dir")
+    s.add_argument("-f", "--format", default="uos")
+    s.add_argument("-r", "--reduce", type=float, default=10.0)
+    s.add_argument("-K", "--knearest", type=int, default=20)
+    s.add_argument("-o", "--out", default=None)
+
     args = p.parse_args(argv)
     import numpy as np
 
@@ -143,6 +206,42 @@ def main(argv=None) -> int:
 
         n = atomize(args.cond_dir, args.orig_dir, args.format, split=args.split)
         print(f"{n} scans atomized")
+    elif args.cmd == "frames2graph":
+        n = cv.frames_to_graph(args.dir, args.out, args.start, args.end)
+        print(f"{n} poses -> {args.out}")
+    elif args.cmd == "convergence":
+        rows = cv.convergence_trace(args.dir, args.scan, args.ctype)
+        np.savetxt(args.out, rows, fmt="%.9f")
+        print(f"{len(rows)} frames -> {args.out}")
+    elif args.cmd == "graphbalancer":
+        from ..models.elch import graph_balancer
+        from ..models.graphslam import read_net_graph
+
+        links = read_net_graph(args.net_file)
+        n_scans = int(links.max()) + 1
+        last = args.last if args.last >= 0 else n_scans - 1
+        w = graph_balancer(
+            [tuple(e) for e in links], [1.0] * len(links),
+            args.first, last, n_scans,
+        )
+        out = args.out or args.net_file + ".weights"
+        np.savetxt(out, w, fmt="%.9f")
+        print(f"{n_scans} weights -> {out}")
+    elif args.cmd == "sicp":
+        g = np.loadtxt(args.global_file).reshape(-1, 3)
+        l = np.loadtxt(args.local_file).reshape(-1, 3)
+        T = cv.sicp_align(g, l, args.nrpoints, args.algo)
+        print("\n".join(" ".join(f"{v:.9f}" for v in row) for row in T))
+    elif args.cmd == "scandiff2d":
+        img = cv.scan_diff2d(
+            args.dir, args.out, args.format, args.id_a, args.id_b, args.dist
+        )
+        print(f"{img.shape[1]}x{img.shape[0]} diff image -> {args.out}")
+    elif args.cmd == "scan2features":
+        n = cv.scan_to_features(
+            args.dir, args.out, args.format, args.reduce, args.knearest
+        )
+        print(f"{n} feature files written")
     return 0
 
 

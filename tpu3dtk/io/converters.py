@@ -365,3 +365,161 @@ def scan_diff(
         float(max_dist) ** 2,
     )
     return b[~np.asarray(found)]
+
+
+def frames_to_graph(
+    directory: str, out_path: str, start: int = 0, end: int = -1
+) -> int:
+    """Final frame pose per scan -> one 'x y z qw qx qy qz' line each
+    (ref src/slam6d/frame_to_graph.cc:38-66: position + quaternion of
+    the last frames entry)."""
+    count = 0
+    with open(out_path, "w") as out:
+        for name in _frames_files(directory):
+            ident = name[len("scan"):-len(".frames")]
+            try:
+                num = int(ident)
+            except ValueError:
+                num = -1
+            if num >= 0 and (num < start or (end >= 0 and num > end)):
+                continue
+            T = frames_io.final_pose(os.path.join(directory, name))
+            _, pos = math3d.matrix4_to_euler(T)
+            q = np.asarray(math3d.matrix4_to_quat(T))
+            out.write(
+                f"{pos[0]} {pos[1]} {pos[2]} {q[0]} {q[1]} {q[2]} {q[3]}\n"
+            )
+            count += 1
+    return count
+
+
+def convergence_trace(
+    directory: str, scan_id: int = 0, ctype: str = "global"
+) -> np.ndarray:
+    """Per-frame pose evolution of one scan — the convergence-graph data
+    of src/slam6d/convergence.cc (-z 0 global = every frame, 1 local =
+    ICP frames only).  Returns [F, 6] rows (pos, theta)."""
+    path = frames_io.frames_path(directory, f"{scan_id:03d}")
+    mats, types = frames_io.read_frames(path)
+    rows = []
+    for T, t in zip(mats, types):
+        if ctype == "local" and int(t) != int(frames_io.AlgoType.ICP):
+            continue
+        theta, pos = math3d.matrix4_to_euler(T)
+        rows.append(np.concatenate([np.asarray(pos), np.asarray(theta)]))
+    return np.stack(rows) if rows else np.zeros((0, 6))
+
+
+def sicp_align(
+    global_pts: np.ndarray, local_pts: np.ndarray, n_use: int = -1,
+    minimizer: str = "quat",
+) -> np.ndarray:
+    """Alignment from GIVEN correspondences — the sICP tool
+    (src/slam6d/sICP.cc: matching with known pairs, no NN search).
+    Row k of local_pts corresponds to row k of global_pts.  Returns the
+    [4,4] transform taking local -> global."""
+    import jax.numpy as jnp
+
+    from ..models import minimizers as mz
+
+    a = np.asarray(global_pts, np.float64)
+    b = np.asarray(local_pts, np.float64)
+    if n_use > 0:
+        a, b = a[:n_use], b[:n_use]
+    if len(a) != len(b) or len(a) < 3:
+        raise ValueError("need >= 3 correspondences of equal length")
+    stats = mz.pair_stats(
+        jnp.asarray(a, jnp.float32), jnp.asarray(b, jnp.float32),
+        jnp.ones(len(a), bool),
+    )
+    align, _err = mz.MINIMIZERS[minimizer](stats)
+    T = np.asarray(align, np.float64)
+    T[:3, :3] = nearest_orthonormal(T[:3, :3])
+    return T
+
+
+def scan_diff2d(
+    directory: str,
+    out_png: str,
+    format: str = "uos",
+    id_a: int = 0,
+    id_b: int = 1,
+    max_dist: float = 50.0,
+    width: int = 800,
+) -> np.ndarray:
+    """Color-coded top-down 2D difference image of two registered scans
+    (ref src/slam6d/scan_diff2d.cc): gray = scan A footprint, red =
+    points of B not explained by A within max_dist.  Writes a PNG and
+    returns the image array."""
+    from .png import write_png
+    from .scandir import read_scan
+
+    spec = get_format(format)
+
+    def load(num: int) -> np.ndarray:
+        scan = read_scan(directory, f"{num:03d}", spec)
+        fp = frames_io.frames_path(directory, f"{num:03d}", spec.data_prefix)
+        if os.path.exists(fp):
+            T = frames_io.final_pose(fp)
+        else:
+            T = np.asarray(
+                math3d.euler_to_matrix4(scan.pose_pos, scan.pose_theta)
+            )
+        return np.asarray(math3d.transform3(T, scan.xyz))
+
+    a = load(id_a)
+    diff = scan_diff(directory, format, id_a, id_b, max_dist)
+    both = np.concatenate([a, diff]) if len(diff) else a
+    lo = both[:, [0, 2]].min(0)
+    hi = both[:, [0, 2]].max(0)
+    span = np.maximum(hi - lo, 1e-6)
+    height = max(int(width * span[1] / span[0]), 1)
+
+    def rasterize(pts):
+        uv = (pts[:, [0, 2]] - lo) / span
+        u = np.clip((uv[:, 0] * (width - 1)).astype(int), 0, width - 1)
+        v = np.clip((uv[:, 1] * (height - 1)).astype(int), 0, height - 1)
+        img = np.zeros((height, width), bool)
+        img[v, u] = True
+        return img
+
+    img = np.zeros((height, width, 3), np.uint8)
+    img[rasterize(a)] = (160, 160, 160)
+    if len(diff):
+        img[rasterize(diff)] = (255, 32, 32)
+    write_png(out_png, img)
+    return img
+
+
+def scan_to_features(
+    directory: str,
+    out_dir: str | None = None,
+    format: str = "uos",
+    reduce_voxel: float = 10.0,
+    k: int = 20,
+) -> int:
+    """Per-point feature files — the scan2features tool
+    (src/slam6d/scan2features.cc): for each (reduced) point write
+    'x y z nx ny nz curvature' where the normal and the surface-
+    variation curvature come from the local KNN PCA
+    (ops.normals).  Writes scanNNN.feat per scan; returns scan count."""
+    from ..core.scan import TPUScan
+    from ..ops.normals import knn_pca_features
+    from .scandir import read_scan_dir
+
+    out_dir = out_dir or directory
+    count = 0
+    for raw in read_scan_dir(directory, format=format):
+        s = TPUScan.from_raw(raw)
+        s.set_reduction(reduce_voxel, 1 if reduce_voxel > 0 else 0)
+        pts = np.asarray(s.reduced_local())
+        normals, curvature = knn_pca_features(pts, k=k)
+        with open(
+            os.path.join(out_dir, f"scan{s.identifier}.feat"), "w"
+        ) as f:
+            for p, n, c in zip(pts, normals, curvature):
+                f.write(
+                    f"{p[0]} {p[1]} {p[2]} {n[0]} {n[1]} {n[2]} {c}\n"
+                )
+        count += 1
+    return count

@@ -286,6 +286,35 @@ def project_panorama(
     )
 
 
+def point_pixels(
+    points: np.ndarray, params: PanoramaParams
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Pixel coordinates (ui, vi, valid) of each point under the
+    panorama mapping — the forward half of project_panorama without the
+    z-buffer (used by range-image normal estimation to sample per-point
+    image values)."""
+    pts = np.asarray(points, np.float64)
+    x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
+    r = np.linalg.norm(pts, axis=1)
+    valid = r > 1e-9
+    if params.max_range is not None:
+        valid &= r <= params.max_range
+    azim = np.arctan2(x, z)
+    elev = np.arcsin(np.clip(y / np.maximum(r, 1e-12), -1, 1))
+    valid &= (elev >= params.min_v_angle) & (elev <= params.max_v_angle)
+    valid &= (azim >= params.min_h_angle) & (azim <= params.max_h_angle)
+    fwd, _ = _projection_pair(params)
+    X, Y, ok = fwd(azim, elev)
+    valid &= ok
+    x0, x1, y0, y1 = _plane_bounds(params, fwd)
+    W, H = params.width, params.height
+    u = (X - x0) / max(x1 - x0, 1e-12) * (W - 1)
+    v = (1.0 - (Y - y0) / max(y1 - y0, 1e-12)) * (H - 1)
+    ui = np.clip(np.round(u).astype(np.int64), 0, W - 1)
+    vi = np.clip(np.round(v).astype(np.int64), 0, H - 1)
+    return ui, vi, valid
+
+
 def recover_point_cloud(
     range_img: np.ndarray,
     params: PanoramaParams,
