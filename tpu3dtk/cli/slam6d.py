@@ -63,6 +63,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-I", "--iterSLAM", type=int, default=50)
     p.add_argument("-D", "--distSLAM", type=float, default=25.0)
     p.add_argument("--epsSLAM", type=float, default=0.5)
+    p.add_argument(
+        "-C", "--clpairs", type=int, default=-1,
+        help="LUM over the graph of scan pairs sharing >= N point "
+        "pairs (ref slam6D -C / computeGraph6Dautomatic)",
+    )
     p.add_argument("-L", "--loop6DAlgo", type=int, default=0)
     p.add_argument("--cldist", type=float, default=500.0)
     p.add_argument("--loopsize", type=int, default=20)
@@ -263,6 +268,31 @@ def main(argv=None) -> int:
                     mesh=lum_mesh,
                 ),
             )
+        elif args.clpairs > -1:
+            # ref slam6D.cc:767-779: sequential ICP, then LUM over the
+            # shared-pairs graph
+            from ..models import graphslam as gs
+
+            reg = SequenceRegistration(
+                params=params, metascan=args.metascan, mesh=seq_mesh
+            )
+            results = reg.run(scans)
+            links = gs.build_clpairs_graph(
+                scans, args.dist**2, args.clpairs
+            )
+            if len(links):
+                gs.do_graph_slam(
+                    scans, links,
+                    gs.LumParams(
+                        max_dist_match2=(
+                            args.distSLAM**2 if args.distSLAM > 0
+                            else args.dist**2
+                        ),
+                        iterations=args.iterSLAM,
+                        epsilon=args.epsSLAM,
+                        mesh=lum_mesh,
+                    ),
+                )
         elif args.graphSlam6DAlgo > 0 or args.loop6DAlgo > 0:
             from ..models.graph_pipeline import GraphPipeline
 

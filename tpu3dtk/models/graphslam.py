@@ -66,6 +66,43 @@ def read_net_graph(path: str) -> np.ndarray:
     return links
 
 
+def build_clpairs_graph(
+    scans, max_dist2: float, min_pairs: int, pad_multiple: int = 512
+) -> np.ndarray:
+    """Links = all scan pairs sharing >= min_pairs NN point pairs at
+    the current poses (ref graphSlam6D::computeGraph6Dautomatic,
+    src/slam6d/graphSlam6D.cc:136-200, the ``-C/--clpairs`` graph).
+
+    One batched kernel counts the pairs of every candidate link (the
+    reference loops j x k scans in OpenMP); candidates are pre-filtered
+    by bounding-sphere overlap so the O(S²) NN work only runs where
+    geometry can overlap.  Returns links [L, 2] int32."""
+    S = len(scans)
+    cap = max(len(s.reduced_local()) for s in scans)
+    cap = ((cap + pad_multiple - 1) // pad_multiple) * pad_multiple
+    locals_pad, masks = _pad_scan_points(scans, cap)
+    mats = np.stack([s.transMat for s in scans]).astype(np.float32)
+    # bounding-sphere prefilter in the global frame
+    centers = np.zeros((S, 3))
+    radii = np.zeros(S)
+    for si, s in enumerate(scans):
+        g = np.asarray(math3d.transform3(s.transMat, s.reduced_local()))
+        centers[si] = g.mean(axis=0)
+        radii[si] = np.linalg.norm(g - centers[si], axis=1).max()
+    jj, kk = np.triu_indices(S, k=1)
+    dist = np.linalg.norm(centers[jj] - centers[kk], axis=1)
+    near = dist <= radii[jj] + radii[kk] + float(np.sqrt(max_dist2))
+    cand = np.stack([jj[near], kk[near]], axis=1).astype(np.int32)
+    if len(cand) == 0:
+        return np.zeros((0, 2), np.int32)
+    C, CD, m = link_covariances_global(
+        jnp.asarray(locals_pad), jnp.asarray(masks), jnp.asarray(mats),
+        jnp.asarray(cand), jnp.float32(max_dist2),
+    )
+    m = np.asarray(m)
+    return cand[m >= min_pairs]
+
+
 def build_proximity_graph(
     positions: np.ndarray, cldist2: float, loopsize: int
 ) -> np.ndarray:
