@@ -113,3 +113,43 @@ def test_ate_detects_offset(tmp_path):
         frames_io.write_frames(str(db / f"scan{k}.frames"), T2[None], [1])
     assert cv.ate(str(da), str(db), align=False)["rmse"] == pytest.approx(5.0)
     assert cv.ate(str(da), str(db), align=True)["rmse"] < 1e-9
+
+
+def test_custom_filter_modes():
+    """CheckerCustom DSL (ref pointfilter.cc:296-420)."""
+    from tpu3dtk.io.scandir import PointFilter, custom_filter_mask
+
+    pts = np.array([
+        [0.0, 0.0, 0.0],      # origin
+        [50.0, 0.0, 0.0],     # inside small cuboid
+        [500.0, 0.0, 0.0],    # outside
+    ])
+    # mode 0: keep inside symmetric cuboid 100^3 -> removes the far point
+    rm = custom_filter_mask(pts, "0;3;100;100;100")
+    assert list(rm) == [False, False, True]
+    # mode 10: keep outside -> removes the near points
+    rm = custom_filter_mask(pts, "10;3;100;100;100")
+    assert list(rm) == [True, True, False]
+    # mode 21: sphere keep-inside around origin r=60
+    rm = custom_filter_mask(pts, "21;4;0;0;0;60")
+    assert list(rm) == [False, False, True]
+    # chain: anything fired removes
+    rm = custom_filter_mask(pts, "21;4;0;0;0;60/10;3;100;100;100")
+    assert list(rm) == [True, True, True]
+    # through PointFilter.apply (keep = ~removed)
+    pf = PointFilter(custom="0;3;100;100;100")
+    assert list(pf.apply(pts)) == [True, True, False]
+
+
+def test_range_set_dsl():
+    """scan_settings range parser semantics."""
+    from tpu3dtk.io.scandir import expand_range_set, parse_range_set
+
+    assert parse_range_set("3") == [(3, 3, 1)]
+    assert parse_range_set("1:5") == [(1, 5, 1)]
+    assert parse_range_set("0:2:8") == [(0, 8, 2)]
+    assert parse_range_set("4:$") == [(4, -1, 1)]
+    avail = list(range(10))
+    assert expand_range_set("1:3,7", avail) == [1, 2, 3, 7]
+    assert expand_range_set("0:2:8", avail) == [0, 2, 4, 6, 8]
+    assert expand_range_set("6:$", avail) == [6, 7, 8, 9]

@@ -144,3 +144,37 @@ def test_bkd_range_search(rng):
     )
     truth = _brute_range(q.astype(np.float64), pts.astype(np.float64), 625.0)
     np.testing.assert_array_equal(count, truth.sum(1))
+
+
+def test_spherical_quadtree_search(rng):
+    """Cone search matches the exact angular filter (ref
+    src/spherical_quadtree QuadNode::search)."""
+    from tpu3dtk.ops.sphquad import SphericalQuadtree
+
+    d = rng.normal(size=(5000, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    pts = d * rng.uniform(50, 200, (5000, 1))
+    qt = SphericalQuadtree(pts, levels=5)
+    p = np.array([1.0, 0.3, -0.2])
+    p /= np.linalg.norm(p)
+    r = 0.3
+    got = np.sort(qt.search(p, r))
+    truth = np.sort(np.nonzero(d @ p >= np.cos(r))[0])
+    np.testing.assert_array_equal(got, truth)
+
+
+def test_spherical_quadtree_reduce(rng):
+    from tpu3dtk.ops.sphquad import SphericalQuadtree
+
+    d = rng.normal(size=(8000, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    qt = SphericalQuadtree(d, levels=6)
+    sel = qt.reduce(theta=0.2, numpts=1)
+    assert 0 < len(sel) < 4000
+    # the kept directions are angularly spread: pairwise min angle of a
+    # sample must exceed a fraction of theta
+    sub = d[sel[:200]]
+    cos = sub @ sub.T
+    np.fill_diagonal(cos, -1)
+    # no two kept samples nearly coincide
+    assert np.arccos(np.clip(cos.max(), -1, 1)) > 0.01

@@ -51,6 +51,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-f", "--format", default="uos")
     p.add_argument("-m", "--max", type=float, default=-1, dest="max_range")
     p.add_argument("-M", "--min", type=float, default=-1, dest="min_range")
+    p.add_argument(
+        "-u", "--customFilter", default=None, dest="custom_filter",
+        help="custom point-filter DSL '{mode};{n}[;params...]/...' "
+        "(ref pointfilter.cc CheckerCustom modes 0/1/2/10/11/20/21/22)",
+    )
+    p.add_argument(
+        "--scans", default=None,
+        help="scan range-set DSL 'a:b,c:step:d,$' (ref scan_settings "
+        "range parser); overrides -s/-e",
+    )
     p.add_argument("-r", "--reduce", type=float, default=-1.0)
     p.add_argument("-O", "--octree", type=int, default=1)
     p.add_argument("-R", "--random", type=int, default=-1)
@@ -142,7 +152,24 @@ def main(argv=None) -> int:
     pf = PointFilter(
         range_max=args.max_range if args.max_range > 0 else None,
         range_min=args.min_range if args.min_range > 0 else None,
+        custom=args.custom_filter,
     )
+    if args.scans:
+        # range-set DSL selection: expand against the directory and
+        # narrow [start, end] (read_scan_dir filters contiguously; the
+        # stepped/multi-range subset is applied after load)
+        from ..io.scandir import expand_range_set, get_format, list_identifiers
+
+        spec_fmt = get_format(args.format)
+        avail = [
+            int(i) for i in list_identifiers(args.dir, spec_fmt, 0, -1)
+        ]
+        selected = set(expand_range_set(args.scans, avail))
+        if selected:
+            args.start = min(selected)
+            args.end = max(selected)
+    else:
+        selected = None
     with metrics.time(SCAN_LOAD):
         if args.distributed:
             scans = dist.distributed_ingest(
@@ -167,6 +194,8 @@ def main(argv=None) -> int:
         if not args.distributed:
             scans = []
             for raw in raw_iter:
+                if selected is not None and int(raw.identifier) not in selected:
+                    continue
                 s = TPUScan.from_raw(raw)
                 s.set_reduction(
                     args.reduce, args.octree if args.reduce > 0 else 0

@@ -35,6 +35,12 @@ class PointFilter:
     height_top: float | None = None  # y axis (uos frame is y-up)
     height_bottom: float | None = None
     scale: float = 1.0  # applied to xyz before filtering
+    # custom predicate DSL (ref pointfilter.cc:273-420 CheckerCustom):
+    # "{mode};{nParams}[;p1][;p2].../{modeB};..." — a point is REMOVED
+    # when any sub-filter fires.  Modes: 0/1/2 cuboid keeps inside,
+    # 10/11 keep outside, 20 keep between two cuboids, 21/22 sphere
+    # keep inside/outside.
+    custom: str | None = None
 
     def apply(self, xyz: np.ndarray) -> np.ndarray:
         """Return boolean keep-mask for [N,3] points (local frame)."""
@@ -47,7 +53,108 @@ class PointFilter:
             keep &= xyz[:, 1] <= self.height_top
         if self.height_bottom is not None:
             keep &= xyz[:, 1] >= self.height_bottom
+        if self.custom:
+            keep &= ~custom_filter_mask(xyz, self.custom)
         return keep
+
+
+def custom_filter_mask(xyz: np.ndarray, spec: str) -> np.ndarray:
+    """Vectorized CheckerCustom (pointfilter.cc:296-420): True where a
+    point is REMOVED (any sub-filter fires).  Sub-filters are separated
+    by '/', each '{mode};{nParams}[;params...]'."""
+    x, y, z = xyz[:, 0], xyz[:, 1], xyz[:, 2]
+    removed = np.zeros(len(xyz), bool)
+    for part in spec.split("/"):
+        fields = part.split(";")
+        mode = int(fields[0])
+        n = int(fields[1])
+        p = [float(v) for v in fields[2 : 2 + n]]
+        if mode == 0:  # symmetric cuboid: keep inside
+            fire = (
+                (np.abs(x) > p[0]) | (np.abs(y) > p[1]) | (np.abs(z) > p[2])
+            )
+        elif mode == 1:  # asymmetric cuboid: keep inside
+            fire = (
+                (x < p[0]) | (x > p[1]) | (y < p[2]) | (y > p[3])
+                | (z < p[4]) | (z > p[5])
+            )
+        elif mode == 2:  # cuboid keep-inside, only within maxRange
+            outside = (
+                (x < p[0]) | (x > p[1]) | (y < p[2]) | (y > p[3])
+                | (z < p[4]) | (z > p[5])
+            )
+            fire = outside & (x * x + y * y + z * z < p[6] * p[6])
+        elif mode == 10:  # symmetric cuboid: keep outside
+            fire = (
+                (np.abs(x) < p[0]) & (np.abs(y) < p[1]) & (np.abs(z) < p[2])
+            )
+        elif mode == 11:  # asymmetric cuboid: keep outside
+            fire = (
+                (x > p[0]) & (x < p[1]) & (y > p[2]) & (y < p[3])
+                & (z > p[4]) & (z < p[5])
+            )
+        elif mode == 20:  # keep between outer and inner cuboid
+            in_outer = (
+                (x > p[0]) & (x < p[1]) & (y > p[2]) & (y < p[3])
+                & (z > p[4]) & (z < p[5])
+            )
+            out_inner = (
+                (x < p[6]) | (x > p[7]) | (y < p[8]) | (y > p[9])
+                | (z < p[10]) | (z > p[11])
+            )
+            fire = in_outer & out_inner
+        elif mode == 21:  # sphere: keep inside
+            d2 = (x - p[0]) ** 2 + (y - p[1]) ** 2 + (z - p[2]) ** 2
+            fire = d2 > p[3] * p[3]
+        elif mode == 22:  # sphere: keep outside
+            d2 = (x - p[0]) ** 2 + (y - p[1]) ** 2 + (z - p[2]) ** 2
+            fire = d2 < p[3] * p[3]
+        else:
+            raise ValueError(f"unknown custom filter mode {mode}")
+        removed |= fire
+    return removed
+
+
+def parse_range_set(spec: str) -> list[tuple[int, int, int]]:
+    """The scan_settings range DSL (include/slam6d/scan_settings.h:
+    146-716 / parsers/range_set_parser.h): comma-separated ranges
+    'a:b' (inclusive), 'a:step:b', bare 'a', '$' = unlimited end.
+    Returns [(start, end, step)] with end = -1 for unlimited."""
+    ranges = []
+    for part in spec.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        toks = part.split(":")
+        if len(toks) == 1:
+            a = int(toks[0])
+            ranges.append((a, a, 1))
+        elif len(toks) == 2:
+            a = int(toks[0])
+            b = -1 if toks[1] in ("$", "") else int(toks[1])
+            ranges.append((a, b, 1))
+        elif len(toks) == 3:
+            a = int(toks[0])
+            step = int(toks[1])
+            b = -1 if toks[2] in ("$", "") else int(toks[2])
+            ranges.append((a, b, step))
+        else:
+            raise ValueError(f"bad range: {part!r}")
+    return ranges
+
+
+def expand_range_set(spec: str, available: list[int]) -> list[int]:
+    """Apply a range-set spec to the available scan numbers; returns
+    the selected numbers sorted ascending."""
+    out: set[int] = set()
+    for a, b, step in parse_range_set(spec):
+        for n in available:
+            if n < a or (b >= 0 and n > b):
+                continue
+            if (n - a) % step:
+                continue
+            out.add(n)
+    return sorted(out)
 
 
 @dataclasses.dataclass
