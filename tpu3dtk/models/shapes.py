@@ -104,15 +104,26 @@ def detect_planes(points, params: HoughParams | None = None) -> list[Plane]:
         inl = np.abs(d) < max(params.dist_tol, bin_w)
         if inl.sum() < params.min_inliers:
             break
-        # refine by PCA on inliers
-        sel = remaining[inl]
-        c = sel.mean(0)
-        cov = (sel - c).T @ (sel - c) / len(sel)
-        w, V = np.linalg.eigh(cov)
-        n_ref = V[:, 0]
-        if n_ref @ n < 0:
-            n_ref = -n_ref
-        rho_ref = float(n_ref @ c)
+        # refine by iterated PCA: start on the coarse accumulator band,
+        # re-fit on progressively tighter inlier bands so a coarse rho
+        # bin (or slightly-off direction cell) cannot lock in a tilted
+        # fit when clutter shares the initial band
+        n_ref = n
+        rho_ref = rho
+        band0 = max(params.dist_tol, bin_w)
+        for band in np.geomspace(band0, params.dist_tol, 3):
+            dref = remaining @ n_ref - rho_ref
+            sel = remaining[np.abs(dref) < band]
+            if len(sel) < max(params.min_inliers // 2, 3):
+                break
+            c = sel.mean(0)
+            cov = (sel - c).T @ (sel - c) / len(sel)
+            w, V = np.linalg.eigh(cov)
+            cand = V[:, 0]
+            if cand @ n_ref < 0:
+                cand = -cand
+            n_ref = cand
+            rho_ref = float(n_ref @ c)
         # final inliers against the refined plane
         d2 = pts @ n_ref - rho_ref
         # count against 'remaining' for removal
