@@ -243,17 +243,19 @@ def golden_dat():
     print("golden dat written:", [np.round(m[:3, 3], 2) for m in mats])
 
 
-def synth_loop(n_scans=60, seed=7):
+def synth_loop(n_scans=60, seed=7, n_pts=6000, density=1.0):
     """Deterministic synthetic loop: a room-scape sampled from poses on
     a closed circuit, odometry poses perturbed with drift-like noise.
-    Returns (locals, true_mats, odo_mats)."""
+    Returns (locals, true_mats, odo_mats).  ``n_pts``: points per scan
+    sample; ``density``: environment point multiplier (raise together
+    to simulate denser sensors for the 16k-point bench variant)."""
     from tpu3dtk.core import math3d
 
     rng = np.random.default_rng(seed)
     # environment: walls of a big hall + pillars (well-constrained)
     walls = []
     size = 4000.0
-    n_face = 9000
+    n_face = int(9000 * density)
     for axis in range(3):
         for side in (0.0, size):
             p = rng.uniform(0, size, (n_face, 3))
@@ -261,10 +263,12 @@ def synth_loop(n_scans=60, seed=7):
             walls.append(p)
     for _ in range(14):  # pillars
         c = rng.uniform(500, size - 500, 2)
-        ang = rng.uniform(0, 2 * np.pi, 800)
+        n_pillar = int(800 * density)
+        ang = rng.uniform(0, 2 * np.pi, n_pillar)
         r = 60.0
         pts = np.stack(
-            [c[0] + r * np.cos(ang), rng.uniform(0, size, 800), c[1] + r * np.sin(ang)],
+            [c[0] + r * np.cos(ang), rng.uniform(0, size, n_pillar),
+             c[1] + r * np.sin(ang)],
             axis=1,
         )
         walls.append(pts)
@@ -283,7 +287,7 @@ def synth_loop(n_scans=60, seed=7):
         # simulated scan: environment points within range, in local frame
         d2 = ((env - center) ** 2).sum(1)
         vis = env[d2 < 1500.0**2]
-        vis = vis[rng.permutation(len(vis))[:6000]]
+        vis = vis[rng.permutation(len(vis))[:n_pts]]
         Ti = np.linalg.inv(T)
         local = vis @ Ti[:3, :3].T + Ti[:3, 3]
         local += rng.normal(0, 1.0, local.shape)  # 1 cm sensor noise

@@ -52,3 +52,73 @@ def test_cell_list_boundary_exclusion():
     assert not bool(found[0])
     _, _, found = nn_pallas.nn_cell_list(m, one, q, one, 100.01)
     assert bool(found[0])
+
+
+def test_cell_list_chained_matches_brute(rng):
+    """The chained cell-list engine (plan -> kernel -> post jits) must
+    agree with brute NN wherever its guards stay green."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu3dtk.ops import nn as nn_ops
+    from tpu3dtk.ops import nn_pallas as npl
+
+    M, Q = 6000, 2000
+    model = rng.uniform(0, 500, (M, 3)).astype(np.float32)
+    query = (model[rng.permutation(Q) % M] + rng.normal(0, 3, (Q, 3))).astype(
+        np.float32
+    )
+    max_dist = 25.0
+    spec = npl.cell_list_spec(model, max_dist, queries=[query])
+    assert spec is not None
+    build = jax.jit(
+        npl.build_cell_list_model, static_argnames=("dims", "RB")
+    )
+    clm, oob_m = build(
+        jnp.asarray(model), jnp.ones(M, bool),
+        jnp.asarray(spec["origin"]), jnp.float32(max_dist),
+        dims=spec["dims"], RB=spec["RB"],
+    )
+    assert int(oob_m) == 0
+    idx, d2, found, ovf, oob = npl.nn_cell_list_chained(
+        jnp.asarray(query), jnp.ones(Q, bool), clm,
+        jnp.float32(max_dist**2),
+        dims=spec["dims"], RB=spec["RB"], chunk=spec["chunk"],
+    )
+    assert not bool(ovf) and int(oob) == 0
+    bi, bd, bf = nn_ops.nn_brute(
+        jnp.asarray(query), jnp.ones(Q, bool),
+        jnp.asarray(model), jnp.ones(M, bool), jnp.float32(max_dist**2),
+    )
+    np.testing.assert_array_equal(np.asarray(found), np.asarray(bf))
+    sel = np.asarray(found)
+    np.testing.assert_allclose(
+        np.asarray(d2)[sel], np.asarray(bd)[sel], atol=1e-2
+    )
+
+
+def test_icp_pair_chained_matches_brute(rng):
+    """Full chained ICP vs the while_loop brute ICP on one pair."""
+    import jax.numpy as jnp
+
+    from tpu3dtk.core import math3d
+    from tpu3dtk.models import icp as icp_mod
+    from tests.conftest import make_room_cloud
+
+    world = rng.uniform(0, 400, (5000, 3)).astype(np.float32)
+    T_true = np.asarray(
+        math3d.euler_to_matrix4([6.0, -4.0, 5.0], [0.01, -0.02, 0.015])
+    )
+    target = np.asarray(
+        math3d.transform3(math3d.m4inv(T_true), world)
+    ).astype(np.float32)
+    mmask = jnp.ones(len(world), bool)
+    tmask = jnp.ones(len(target), bool)
+    res_c = icp_mod.icp_pair_chained(
+        jnp.asarray(world), mmask, jnp.asarray(target), tmask,
+        jnp.eye(4, dtype=jnp.float32),
+        max_dist_match2=625.0, epsilon=1e-7, max_iterations=40,
+    )
+    assert int(res_c.maxocc) == 0  # guards stayed green
+    T_c = np.asarray(res_c.T, np.float64)
+    np.testing.assert_allclose(T_c, T_true, atol=0.5)

@@ -153,6 +153,10 @@ class GraphPipeline:
                     elch_mod.ElchParams(
                         max_dist_match2=self.icp_params.max_dist_match2,
                         icp_iterations=self.icp_params.max_iterations,
+                        # converge the loop ICP with the same epsilon
+                        # as the sequential matches (the 1e-7 default
+                        # forces max_iterations at large scan sizes)
+                        icp_epsilon=self.icp_params.epsilon,
                         scan_cap=self._scan_cap,
                         device_points=self._device_points,
                     ),

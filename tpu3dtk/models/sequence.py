@@ -53,6 +53,11 @@ class SequenceRegistration:
     # typical 5-20k query sizes.  On CPU the measured breakeven is much
     # lower (~131072).
     grid_max_cap: int = 768  # fall back to brute beyond this occupancy
+    # Pallas cell-list chained ICP: used on TPU when the model window
+    # reaches this many points AND the cell-list candidate volume beats
+    # brute (9*RB < model points) — the O(Q*occupancy) engine for
+    # city-scale models (see models.icp.icp_pair_chained)
+    chained_min: int = 98304
     # Multi-device: "auto" shards target points over all local devices
     # (psum-merged pair stats, parallel.icp_shard) whenever more than
     # one device is present; None forces single-device jit.  A
@@ -85,6 +90,7 @@ class SequenceRegistration:
         )
         use_device_loop = (
             prep["mesh"] is None
+            and prep.get("chain_spec") is None
             and not (
                 prep["grid_buckets"]
                 and (
@@ -223,10 +229,50 @@ class SequenceRegistration:
             if bcap <= self.grid_max_cap:
                 grid_buckets, grid_cap = H, bcap
 
+        # chained cell-list engine spec (TPU, big model windows, plain
+        # closest-point matching without per-iteration subsampling)
+        chain_spec = None
+        if (
+            mesh is None
+            and self.params.pairing == "closest_point"
+            and self.params.subsample == 1
+            and self.params.minimizer not in ("lumeuler", "lumquat")
+            and win_max * cap >= self.chained_min
+        ):
+            import jax as _jax
+
+            if _jax.default_backend() == "tpu":
+                from ..ops import nn_pallas as npl
+
+                all_g = np.concatenate(
+                    [
+                        np.asarray(
+                            math3d.transform3(s.transMat, s.reduced_local())
+                        )
+                        for s in scans
+                    ]
+                ).astype(np.float32)
+                max_dist = float(np.sqrt(self.params.max_dist_match2))
+                spec = npl.cell_list_spec(
+                    all_g, max_dist, headroom=2.0,
+                    queries=[
+                        np.asarray(
+                            math3d.transform3(s.transMat, s.reduced_local())
+                        )
+                        for s in scans
+                    ],
+                )
+                if (
+                    spec is not None
+                    and 9 * spec["RB"] < win_max * cap
+                ):
+                    chain_spec = spec
+
         prep = dict(
             key=key,
             mesh=mesh,
             cap=cap,
+            chain_spec=chain_spec,
             locals=jnp.asarray(locals_pad),
             masks=jnp.asarray(masks),
             normals=jnp.asarray(normals_pad),
@@ -301,9 +347,36 @@ class SequenceRegistration:
         gb, gc = prep["grid_buckets"], prep["grid_cap"]
         if self.nns == "auto" and window_cap * prep["cap"] < prep["grid_min"]:
             gb = gc = 0
+        use_chain = (
+            prep.get("chain_spec") is not None
+            and window_cap * prep["cap"] >= self.chained_min
+        )
         with metrics.time(MATCHING):
-            res = match(gb, gc)
-            if gb and int(res.maxocc) > gc:
+            if use_chain:
+                import jax.numpy as jnp
+
+                model, mmask_, tgt, tmask_, _n, _g, _o = icp_mod._seq_build(
+                    prep["locals"], prep["masks"], prep["normals"],
+                    jnp.asarray(mats),
+                    jnp.int32(lo), jnp.int32(i), jnp.int32(i),
+                    jnp.float32(self.params.max_dist_match2),
+                    has_normals=prep["has_normals"], n_buckets=0,
+                    window_cap=window_cap,
+                )
+                res = icp_mod.icp_pair_chained(
+                    model, mmask_, tgt, tmask_, T0,
+                    max_dist_match2=self.params.max_dist_match2,
+                    epsilon=self.params.epsilon,
+                    max_iterations=self.params.max_iterations,
+                    minimizer=self.params.minimizer,
+                    spec=prep["chain_spec"],
+                )
+                if int(res.maxocc) > 0:
+                    # cell-list guard fired: redo exactly with brute
+                    res = match(0, 0)
+            else:
+                res = match(gb, gc)
+            if not use_chain and gb and int(res.maxocc) > gc:
                 # hash overflow: exactness guard — redo with brute NN
                 res = match(0, 0)
             # ONE device->host transfer for the whole result (the
