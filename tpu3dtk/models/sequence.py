@@ -46,12 +46,14 @@ class SequenceRegistration:
     # tripped the grid for every 1-scan-window match, 50x slower).
     nns: str = "auto"
     grid_min_model: int | None = None  # auto threshold on model-window
-    # points; None = backend default.  On TPU the XLA cell-hash query is
-    # gather-serialized INSIDE lax.while_loop (~100 ms/iter regardless
-    # of size, vs ~0.1 ms standalone), while the Pallas MXU brute kernel
-    # scales ~Q*M/75e9 s/iter — brute wins until ~2M model points at
-    # typical 5-20k query sizes.  On CPU the measured breakeven is much
-    # lower (~131072).
+    # points; None = backend default.  On TPU the XLA cell-hash
+    # candidate gather runs at ~0.1 G rows/s (honestly re-measured
+    # round 4 with fetch-synchronized timing: ~713 ms at 256k — about
+    # the same as MXU brute there and worse below), so the hash never
+    # pays on TPU at practical sizes; the threshold keeps it out of the
+    # way while the chained Pallas cell list (chained_min) serves the
+    # truly large windows.  On CPU the hash is genuinely sublinear and
+    # the breakeven is ~131072.
     grid_max_cap: int = 768  # fall back to brute beyond this occupancy
     # Pallas cell-list chained ICP: used on TPU when the model window
     # reaches this many points AND the cell-list candidate volume beats

@@ -44,9 +44,9 @@ __all__ = [
 def nn_brute_auto(query, qmask, model, mmask, max_dist2):
     """Backend-dispatched exact brute NN: the Pallas MXU kernel on TPU
     (ops.nn_pallas.nn_brute_mxu — keeps the [Q, M] distance tiles in
-    VMEM with a running argmin, so it stays at speed inside
-    lax.while_loop where the XLA version loses fusion and spills), the
-    XLA version elsewhere.  Same contract as :func:`nn_brute`."""
+    VMEM with a running argmin, never spilling the distance matrix,
+    in or out of lax.while_loop), the XLA version elsewhere.  Same
+    contract as :func:`nn_brute`."""
     import jax as _jax
 
     if _jax.default_backend() == "tpu":
