@@ -22,6 +22,11 @@ WORKER = os.path.join(REPO, "tests", "helpers", "dist_lum_worker.py")
 def _launch(pid: int, nproc: int, port: int, out: str):
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)
+    # hermetic CPU children: skip the axon tunnel claim entirely (the
+    # sitecustomize register() claims a chip session per process and
+    # fails under suite-level contention)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env.pop("JAX_PLATFORMS", None)
     env.update(
         JAX_COORDINATOR=f"localhost:{port}",
         NPROC=str(nproc),
@@ -93,6 +98,8 @@ def test_two_process_slam6d_cli(tmp_path, dat_dir):
         os.makedirs(out_dir, exist_ok=True)
         env = dict(os.environ)
         env.pop("XLA_FLAGS", None)
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env.pop("JAX_PLATFORMS", None)
         env.update(
             TPU3DTK_PLATFORM="cpu",
             PYTHONPATH=REPO,

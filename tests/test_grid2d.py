@@ -49,3 +49,47 @@ def test_pgm_output(tmp_path, rng):
     g.write_pgm(str(p))
     data = p.read_bytes()
     assert data.startswith(b"P5\n")
+
+
+def test_grid_writers_and_lines(tmp_path, rng):
+    """gnuplot/world writers + Hough gridlines (ref gridWriter.cc,
+    gridlines.cc)."""
+    from tpu3dtk.models.grid2d import (
+        Grid2DParams, extract_gridlines, make_occupancy_grid,
+        write_gnuplot, write_world,
+    )
+
+    # an L-shaped wall footprint
+    wall1 = np.stack(
+        [np.linspace(0, 400, 300), np.zeros(300), np.zeros(300)], axis=1
+    )
+    wall2 = np.stack(
+        [np.zeros(300), np.zeros(300), np.linspace(0, 300, 300)], axis=1
+    )
+    pts = np.concatenate([wall1, wall2]) + rng.normal(0, 1.0, (600, 3))
+    origin = np.array([200.0, 0.0, 150.0])
+    g = make_occupancy_grid([pts], [origin], Grid2DParams(resolution=10.0))
+
+    gp = str(tmp_path / "g.dat")
+    n = write_gnuplot(g, gp)
+    assert n > 20
+    rows = np.loadtxt(gp)
+    assert rows.shape[1] == 2
+
+    wp = str(tmp_path / "w.dat")
+    write_world(g, wp)
+    header = open(wp).readline().split()
+    assert len(header) == 5 and float(header[4]) == 10.0
+
+    segs = extract_gridlines(g, min_votes=5, min_length=3.0)
+    assert len(segs) >= 2
+    # the two dominant segments align with the walls (x- and z-axis)
+    lengths = [np.linalg.norm(p1 - p0) for p0, p1 in segs]
+    best = np.argsort(lengths)[-2:]
+    dirs = []
+    for b in best:
+        p0, p1 = segs[b]
+        v = (p1 - p0) / np.linalg.norm(p1 - p0)
+        dirs.append(np.abs(v))
+    axes_hit = {int(np.argmax(d)) for d in dirs}
+    assert axes_hit == {0, 1}, dirs

@@ -61,6 +61,8 @@ def test_render_deterministic(rng):
 def test_show_cli_end_to_end(tmp_path, dat_dir):
     out = str(tmp_path / "views")
     env = dict(os.environ, TPU3DTK_PLATFORM="cpu", PYTHONPATH=REPO)
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # hermetic CPU child
+    env.pop("JAX_PLATFORMS", None)
     r = subprocess.run(
         [
             sys.executable, "-m", "tpu3dtk.cli.show",

@@ -122,3 +122,109 @@ def make_occupancy_grid(
         hits=np.asarray(hits).reshape(W, H),
         visits=np.asarray(visits).reshape(W, H),
     )
+
+
+def write_gnuplot(grid: "OccupancyGrid", path: str,
+                  threshold: float = 0.5) -> int:
+    """Occupied cell centers as 'x z' lines for gnuplot (ref
+    gridWriter.cc gnuplotWriter::write).  Returns cell count."""
+    occ = grid.occupancy
+    ys, xs = np.nonzero(occ.T >= threshold)  # transpose: rows = z
+    n = 0
+    with open(path, "w") as f:
+        for x, z in zip(xs, ys):
+            wx = grid.origin[0] + (x + 0.5) * grid.resolution
+            wz = grid.origin[1] + (z + 0.5) * grid.resolution
+            f.write(f"{wx} {wz}\n")
+            n += 1
+    return n
+
+
+def write_world(grid: "OccupancyGrid", path: str) -> None:
+    """World-map text format: header (bounds, resolution) + per-cell
+    occupancy percentage rows (ref gridWriter.cc worldWriter)."""
+    occ = grid.occupancy
+    W, H = occ.shape
+    with open(path, "w") as f:
+        f.write(
+            f"{grid.origin[0]} {grid.origin[0] + W * grid.resolution} "
+            f"{grid.origin[1]} {grid.origin[1] + H * grid.resolution} "
+            f"{grid.resolution}\n"
+        )
+        for j in range(H):
+            f.write(
+                " ".join(
+                    "-1" if occ[i, j] < 0 else f"{int(occ[i, j] * 100)}"
+                    for i in range(W)
+                )
+                + "\n"
+            )
+
+
+def extract_gridlines(
+    grid: "OccupancyGrid",
+    threshold: float = 0.5,
+    min_length: float = 2.0,
+    n_theta: int = 180,
+    n_rho: int = 256,
+    min_votes: int = 8,
+    max_lines: int = 32,
+):
+    """Line segments from an occupancy grid — the ``gridlines`` tool
+    (ref src/grid/gridlines.cc: Hough transform over solid cells, then
+    segment extraction).  One [N_cells, n_theta] matmul computes every
+    cell's rho against every direction (the same MXU Hough pattern as
+    models.shapes).  Returns [(p0 [2], p1 [2])] world-coordinate
+    segments with length >= min_length cells."""
+    import jax.numpy as jnp
+
+    occ = grid.occupancy
+    xs, zs = np.nonzero(occ >= threshold)
+    if len(xs) == 0:
+        return []
+    pts = np.stack(
+        [
+            grid.origin[0] + (xs + 0.5) * grid.resolution,
+            grid.origin[1] + (zs + 0.5) * grid.resolution,
+        ],
+        axis=1,
+    )
+    thetas = np.linspace(0, np.pi, n_theta, endpoint=False)
+    dirs = np.stack([np.cos(thetas), np.sin(thetas)], axis=1)
+    rho = np.asarray(
+        jnp.dot(jnp.asarray(pts, jnp.float32), jnp.asarray(dirs.T, jnp.float32))
+    )  # [N, n_theta]
+    rmin, rmax = rho.min(), rho.max()
+    bw = max((rmax - rmin) / n_rho, 1e-6)
+    bins = np.clip(((rho - rmin) / bw).astype(int), 0, n_rho - 1)
+    segments = []
+    used = np.zeros(len(pts), bool)
+    for _ in range(max_lines):
+        acc = np.zeros((n_theta, n_rho), np.int32)
+        alive = ~used
+        for tI in range(n_theta):
+            np.add.at(acc[tI], bins[alive, tI], 1)
+        tI, rI = np.unravel_index(np.argmax(acc), acc.shape)
+        if acc[tI, rI] < min_votes:
+            break
+        on_line = alive & (np.abs(bins[:, tI] - rI) <= 1)
+        if on_line.sum() < min_votes:
+            break
+        sel = pts[on_line]
+        d = dirs[tI]
+        t = sel @ np.array([-d[1], d[0]])  # position along the line
+        order = np.argsort(t)
+        sel, t = sel[order], t[order]
+        # split at gaps > 3 cells (segment extraction, gridlines.cc)
+        gap = grid.resolution * 3.0
+        start = 0
+        for k in range(1, len(t) + 1):
+            if k == len(t) or t[k] - t[k - 1] > gap:
+                if (
+                    t[k - 1] - t[start]
+                    >= min_length * grid.resolution
+                ):
+                    segments.append((sel[start].copy(), sel[k - 1].copy()))
+                start = k
+        used |= on_line
+    return segments

@@ -27,7 +27,10 @@ __all__ = [
     "segment_search_all",
 ]
 
-_BIG = jnp.float32(3.4e38)
+# plain python float: a module-level jnp scalar would initialize the
+# XLA backend at import time (breaking jax.distributed.initialize in
+# multi-host programs that import tpu3dtk first)
+_BIG = 3.4e38
 
 
 @functools.partial(jax.jit, static_argnames=("K", "q_tile"))
