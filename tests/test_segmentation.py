@@ -25,3 +25,31 @@ def test_min_size_merges(rng):
     # the singleton outlier is absorbed
     counts = np.bincount(labels)
     assert counts.min() >= 5
+
+
+def test_region_growing_two_planes(rng):
+    """RG segmentation separates two perpendicular planes that touch
+    (where FH would need careful thresholds)."""
+    from tpu3dtk.models.segmentation import region_growing_segmentation
+
+    n = 1200
+    a = np.stack(
+        [rng.uniform(0, 200, n), rng.uniform(0, 200, n), np.zeros(n)], 1
+    )
+    b = np.stack(
+        [rng.uniform(0, 200, n), np.zeros(n), rng.uniform(1.0, 200, n)], 1
+    )
+    pts = np.concatenate([a, b])
+    na = np.tile([0.0, 0.0, 1.0], (n, 1))
+    nb = np.tile([0.0, 1.0, 0.0], (n, 1))
+    labels = region_growing_segmentation(
+        pts, np.concatenate([na, nb]), k=8, dist_thresh=30.0
+    )
+    la = labels[:n]
+    lb = labels[n:]
+    # each plane is one dominant component, and they differ
+    da = np.bincount(la[la >= 0]).argmax()
+    db = np.bincount(lb[lb >= 0]).argmax()
+    assert da != db
+    assert (la == da).mean() > 0.9
+    assert (lb == db).mean() > 0.9

@@ -41,3 +41,20 @@ def test_noise_only_no_planes(rng):
         pts, shapes.HoughParams(min_inliers=400, dist_tol=3.0, rho_max=1000.0)
     )
     assert len(planes) == 0
+
+
+def test_detect_planes_rht(rng):
+    """Randomized Hough (ref Hough::RHT) finds the room's walls."""
+    from tests.conftest import make_room_cloud
+    from tpu3dtk.models.shapes import HoughParams, detect_planes_rht
+
+    pts = make_room_cloud(rng, n=6000, size=700.0)
+    planes = detect_planes_rht(
+        pts,
+        HoughParams(min_inliers=400, max_planes=8, dist_tol=8.0),
+        seed=3,
+    )
+    assert len(planes) >= 4
+    # every detected normal is an axis
+    for p in planes:
+        assert np.abs(p.normal).max() > 0.98, p.normal

@@ -46,7 +46,12 @@ _config.update(
 # to disable, or point it at a different directory.
 _cache_dir = _os.environ.get(
     "TPU3DTK_XLA_CACHE",
-    _os.path.join(_os.path.expanduser("~"), ".cache", "tpu3dtk", "xla"),
+    _os.path.join(
+        _os.path.expanduser("~"), ".cache", "tpu3dtk", "xla",
+        # per-platform subdir: entries compiled by the tunnel-side
+        # toolchain carry machine features local CPU runs must not load
+        _os.environ.get("TPU3DTK_PLATFORM", "default"),
+    ),
 )
 if _cache_dir:
     _config.update("jax_compilation_cache_dir", _cache_dir)

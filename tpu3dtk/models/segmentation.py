@@ -104,3 +104,68 @@ def fh_segmentation(points, params: FHParams | None = None) -> np.ndarray:
     roots = np.array([ds.find(i) for i in range(N)])
     _, labels = np.unique(roots, return_inverse=True)
     return labels
+
+
+def region_growing_segmentation(
+    points,
+    normals=None,
+    k: int = 8,
+    angle_thresh_deg: float = 12.0,
+    dist_thresh: float = 30.0,
+    min_size: int = 10,
+    max_iters: int = 200,
+) -> np.ndarray:
+    """Normal-coherent region growing — the reference's RG segmentation
+    (src/preg6d/model/rg.cc; the smooth-surface complement to FH).
+
+    TPU re-design: instead of seeded BFS growth, labels start unique
+    and iteratively propagate the MINIMUM label across KNN edges whose
+    endpoints are normal-coherent (angle < angle_thresh) and close
+    (dist < dist_thresh) — a vectorized connected-components flood
+    that converges in O(component diameter) sweeps.  Returns labels
+    [N] (components smaller than min_size get -1)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import knn as knn_ops
+    from ..ops.normals import estimate_normals_knn
+
+    pts = jnp.asarray(np.asarray(points), jnp.float32)
+    N = pts.shape[0]
+    mask = jnp.ones(N, bool)
+    if normals is None:
+        normals = estimate_normals_knn(
+            pts, mask, jnp.zeros(3, jnp.float32), k=max(k, 10)
+        )
+    else:
+        normals = jnp.asarray(np.asarray(normals), jnp.float32)
+    idx, d2 = knn_ops.knn_brute(pts, mask, pts, mask, k)
+    ndot = jnp.abs(jnp.sum(normals[:, None, :] * normals[idx], axis=-1))
+    cos_t = float(np.cos(np.deg2rad(angle_thresh_deg)))
+    edge_ok = (ndot >= cos_t) & (d2 < dist_thresh**2)
+
+    @jax.jit
+    def sweep(labels):
+        nbr = jnp.where(edge_ok, labels[idx], jnp.int32(N))
+        best = jnp.minimum(labels, jnp.min(nbr, axis=1))
+        # symmetric propagation: also push own label to neighbors via
+        # scatter-min
+        out = jnp.full(N + 1, jnp.int32(N))
+        out = out.at[jnp.where(edge_ok, idx, N)].min(best[:, None])
+        return jnp.minimum(best, out[:N])
+
+    labels = jnp.arange(N, dtype=jnp.int32)
+    for _ in range(max_iters):
+        new = sweep(labels)
+        if bool(jnp.all(new == labels)):
+            break
+        labels = new
+    lab = np.asarray(labels)
+    out = np.full(N, -1, np.int64)
+    uniq, counts = np.unique(lab, return_counts=True)
+    next_id = 0
+    for u, c in zip(uniq, counts):
+        if c >= min_size:
+            out[lab == u] = next_id
+            next_id += 1
+    return out

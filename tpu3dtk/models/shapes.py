@@ -142,3 +142,130 @@ def detect_planes(points, params: HoughParams | None = None) -> list[Plane]:
         )
         remaining = remaining[~inl2]
     return planes
+
+
+def detect_planes_rht(
+    points,
+    params: HoughParams | None = None,
+    batch: int = 16384,
+    acc_threshold: int = 12,
+    max_rounds: int = 60,
+    seed: int = 0,
+) -> list[Plane]:
+    """Randomized Hough Transform — the reference's default plane
+    detector (``Hough::RHT``, src/shapes/hough.cc:156-210: sample point
+    triples, accumulate their plane cells, extract when a cell passes
+    the threshold, delete inliers, repeat).
+
+    TPU re-design: triples are sampled in BATCHES of ``batch`` — one
+    vectorized cross-product pass computes every triple's (normal, rho)
+    and one scatter-add votes them all — instead of the reference's
+    one-triple-at-a-time loop.  Extraction/refinement reuses the SHT
+    path's iterated PCA."""
+    import jax
+    import jax.numpy as jnp
+
+    params = params or HoughParams()
+    pts = np.asarray(points, np.float64)
+    rng = np.random.default_rng(seed)
+    planes: list[Plane] = []
+    remaining = pts
+    # RHT votes on a COARSER accumulator than the SHT: triple normals
+    # carry degrees of noise (sensor noise over short baselines), so a
+    # fine grid disperses coincident votes below any threshold (the
+    # reference's ball accumulator is similarly coarse); the iterated
+    # PCA refinement recovers the precision afterwards
+    dirs = _directions(max(params.n_theta // 3, 8),
+                       max(params.n_phi // 3, 16))
+    D = len(dirs)
+    n_rho = max(int(2.0 * params.rho_max / (4.0 * params.dist_tol)), 8)
+    bin_w = (2.0 * params.rho_max) / n_rho
+    dirs_j = jnp.asarray(dirs, jnp.float32)
+
+    @jax.jit
+    def vote(tri):
+        """tri [B, 3, 3] -> accumulator [D * n_rho] votes."""
+        v1 = tri[:, 1] - tri[:, 0]
+        v2 = tri[:, 2] - tri[:, 0]
+        v3 = tri[:, 2] - tri[:, 1]
+        n = jnp.cross(v1, v2)
+        nn_ = jnp.linalg.norm(n, axis=1, keepdims=True)
+        # distanceOK gate (hough.cc:553): reject near-degenerate
+        # triples — tight or stretched ones vote noisy normals
+        lens = jnp.stack([
+            jnp.linalg.norm(v1, axis=1),
+            jnp.linalg.norm(v2, axis=1),
+            jnp.linalg.norm(v3, axis=1),
+        ])
+        dmin = jnp.float32(3.0 * params.dist_tol)
+        dmax = jnp.float32(0.25 * params.rho_max)
+        ok = (
+            (nn_[:, 0] > 1e-6)
+            & jnp.all(lens > dmin, axis=0)
+            & jnp.all(lens < dmax, axis=0)
+        )
+        n = n / jnp.maximum(nn_, 1e-12)
+        # canonical hemisphere (accumulator covers half sphere)
+        n = jnp.where(n[:, 2:3] < 0, -n, n)
+        rho = jnp.sum(n * tri[:, 0], axis=1)
+        # nearest accumulator direction: [B, D] dot on the MXU
+        sim = jnp.dot(
+            n.astype(jnp.float32), dirs_j.T,
+            preferred_element_type=jnp.float32,
+        )
+        di = jnp.argmax(sim, axis=1).astype(jnp.int32)
+        ri = jnp.clip(
+            ((rho + params.rho_max) / bin_w).astype(jnp.int32),
+            0, n_rho - 1,
+        )
+        flat = jnp.where(ok, di * n_rho + ri, D * n_rho)
+        acc = jnp.zeros(D * n_rho + 1, jnp.int32).at[flat].add(1)
+        return acc[:-1]
+
+    for _ in range(max_rounds):
+        if len(remaining) < max(params.min_inliers, 3):
+            break
+        idx = rng.integers(0, len(remaining), (batch, 3))
+        tri = jnp.asarray(remaining[idx], jnp.float32)
+        acc = np.asarray(vote(tri))
+        best = int(acc.argmax())
+        if acc[best] < acc_threshold:
+            continue
+        n0 = dirs[best // n_rho]
+        rho0 = -params.rho_max + (best % n_rho + 0.5) * bin_w
+        # iterated PCA refinement (same discipline as detect_planes)
+        n_ref, rho_ref = n0, rho0
+        ok_plane = True
+        for band in np.geomspace(
+            max(params.dist_tol, bin_w), params.dist_tol, 3
+        ):
+            d = remaining @ n_ref - rho_ref
+            sel = remaining[np.abs(d) < band]
+            if len(sel) < max(params.min_inliers // 2, 3):
+                ok_plane = False
+                break
+            c = sel.mean(0)
+            cov = (sel - c).T @ (sel - c) / len(sel)
+            w, V = np.linalg.eigh(cov)
+            cand = V[:, 0]
+            if cand @ n_ref < 0:
+                cand = -cand
+            n_ref = cand
+            rho_ref = float(n_ref @ c)
+        if not ok_plane:
+            continue
+        d = remaining @ n_ref - rho_ref
+        inl = np.abs(d) < params.dist_tol
+        if inl.sum() < params.min_inliers:
+            continue
+        planes.append(
+            Plane(
+                normal=n_ref, rho=rho_ref,
+                n_inliers=int(inl.sum()),
+                center=remaining[inl].mean(0),
+            )
+        )
+        remaining = remaining[~inl]
+        if len(planes) >= params.max_planes:
+            break
+    return planes
