@@ -246,6 +246,9 @@ def _edge_covariances_quat(scans, graph_edges, params):
     lp = _LP(
         max_dist_match2=params.max_dist_match2,
         pad_multiple=params.pad_multiple,
+        scan_cap=params.scan_cap,
+        device_points=params.device_points,
+        link_cap_min=params.link_cap_min,
     )
     raw = _collect_raw(scans, np.asarray(graph_edges, np.int32), lp)
     return np.stack(
