@@ -32,6 +32,13 @@ class PeopleRemoverParams:
     # (ref walk_voxels stops before the endpoint so the surface voxel
     # itself is not carved)
     max_range: float | None = None  # ignore rays longer than this
+    # per-ray carve-length limiting (ref --maxrange-method, common.h:105
+    # NONE/NORMALS/ONENEAREST): "normals" widens the stop margin by
+    # 1/|cos(ray, surface normal)| so grazing surfaces are not carved
+    # through their own noise band; "1nearest" widens it by each
+    # point's nearest-neighbor distance (the local sampling scale)
+    maxrange_method: str = "none"
+    normal_knearest: int = 12  # ref --normal-knearest
 
 
 def remove_dynamic_points(
@@ -81,8 +88,37 @@ def remove_dynamic_points(
             valid = rlen < params.max_range
         else:
             valid = jnp.ones(len(pts), bool)
-        # sample at half-voxel steps up to (len - end_offset*vs)
-        tmax = jnp.maximum(rlen - params.end_offset * vs, 0.0) / jnp.maximum(
+        # sample at half-voxel steps up to (len - margin); the margin
+        # starts at end_offset voxels and grows per maxrange_method
+        margin = jnp.full_like(rlen, params.end_offset * vs)
+        if params.maxrange_method == "normals":
+            from ..ops.normals import estimate_normals_knn
+
+            nrm = estimate_normals_knn(
+                pts, jnp.ones(len(pts), bool), org,
+                k=params.normal_knearest,
+            )
+            cosang = jnp.abs(
+                jnp.sum(nrm * (ray / jnp.maximum(rlen, 1e-9)[:, None]),
+                        axis=1)
+            )
+            # voxel-diagonal margin: a grazing ray stays inside the
+            # surface's voxel SLAB for ~voxel*sqrt(3)/cos of its length
+            # (walk_voxels' normals clamp plays the same role)
+            margin = (
+                margin * jnp.float32(np.sqrt(3.0))
+                / jnp.clip(cosang, 0.15, 1.0)
+            )
+        elif params.maxrange_method == "1nearest":
+            from ..ops import knn as knn_ops
+
+            _idx, d2k = knn_ops.knn_brute(
+                pts, jnp.ones(len(pts), bool), pts,
+                jnp.ones(len(pts), bool), 2,
+            )
+            d1 = jnp.sqrt(jnp.maximum(d2k[:, 1], 0.0))
+            margin = jnp.maximum(margin, d1)
+        tmax = jnp.maximum(rlen - margin, 0.0) / jnp.maximum(
             rlen, 1e-9
         )
         kmax = int(np.ceil(float(jnp.max(rlen)) / (0.5 * vs))) + 1
