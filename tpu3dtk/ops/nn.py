@@ -41,18 +41,22 @@ __all__ = [
 ]
 
 
-def nn_brute_auto(query, qmask, model, mmask, max_dist2):
+def nn_brute_auto(query, qmask, model, mmask, max_dist2, precise=False):
     """Backend-dispatched exact brute NN: the Pallas MXU kernel on TPU
     (ops.nn_pallas.nn_brute_mxu — keeps the [Q, M] distance tiles in
     VMEM with a running argmin, never spilling the distance matrix,
     in or out of lax.while_loop), the XLA version elsewhere.  Same
-    contract as :func:`nn_brute`."""
+    contract as :func:`nn_brute`; ``precise`` selects exact-f32 (6-pass)
+    ranking over the default 3-pass split ranking on TPU (see
+    nn_pallas._cross_rank for the rank-error bound)."""
     import jax as _jax
 
     if _jax.default_backend() == "tpu":
         from .nn_pallas import nn_brute_mxu
 
-        return nn_brute_mxu(query, qmask, model, mmask, max_dist2)
+        return nn_brute_mxu(
+            query, qmask, model, mmask, max_dist2, precise=precise
+        )
     return nn_brute(query, qmask, model, mmask, max_dist2)
 
 

@@ -44,6 +44,43 @@ def _round_up(a, b):
     return _cdiv(a, b) * b
 
 
+def _cross_rank(q, m, precise: bool):
+    """Cross term qᵀm for distance RANKING, [8, TQ] x [8, TM] -> [TQ, TM].
+
+    precise=False (default): split each operand into bf16 hi + lo and
+    sum the 3 significant products — 3 MXU passes with ~16-bit relative
+    accuracy.  The omitted q_lo·m_lo term bounds the rank error at
+    ~1.2e-5 · extent² (measured 10.4 cm² max at ±800 cm extents, 0.07%
+    of neighbors swapped between near-equal candidates); the *accept*
+    distance is always recomputed exactly outside the kernel, so only
+    the choice among candidates closer than the bound can differ from
+    exact ranking.  Mosaic has no 3-pass HIGH lowering, hence the manual
+    split; measured 1.8 ms vs 3.1 ms per 16k x 16k NN pass on v5e.
+
+    precise=True: 6-pass HIGHEST — exact-f32 ranking, for km-scale
+    extents where 1.2e-5·ext² approaches the match gate.
+    """
+    dn = (((0,), (0,)), ((), ()))
+    if precise:
+        return jax.lax.dot_general(
+            q, m, dn, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    pd = jax.lax.Precision.DEFAULT
+    qh32 = q.astype(jnp.bfloat16).astype(jnp.float32)
+    qh = qh32.astype(jnp.bfloat16)
+    ql = (q - qh32).astype(jnp.bfloat16)
+    mh32 = m.astype(jnp.bfloat16).astype(jnp.float32)
+    mh = mh32.astype(jnp.bfloat16)
+    ml = (m - mh32).astype(jnp.bfloat16)
+    f32 = jnp.float32
+    return (
+        jax.lax.dot_general(qh, mh, dn, preferred_element_type=f32, precision=pd)
+        + jax.lax.dot_general(qh, ml, dn, preferred_element_type=f32, precision=pd)
+        + jax.lax.dot_general(ql, mh, dn, preferred_element_type=f32, precision=pd)
+    )
+
+
 def plan_cell_list(model, mmask, query, qmask, max_dist, chunk=256):
     """Host-side plan: sort both clouds by cell id and build the
     per-chunk scalar table.  Returns a dict of device arrays + static
@@ -205,19 +242,16 @@ def _run_kernel(table, query_sorted, model_sorted, RB, chunk, W, interpret=False
             ).wait()
         q = q_ref[:]  # [8, T]
         c = cand[:]  # [8, 9*RB]
-        # center on the chunk's first query: keeps the matmul expansion
-        # exact in f32.  |q|^2 is constant per row and irrelevant to the
-        # argmin; the winner's true distance is recomputed outside.
+        # center on the chunk's first query: sorted-by-cell queries and
+        # their candidate ranges are spatially LOCAL, so centered
+        # magnitudes stay at chunk extent (~tens of cells) and the
+        # 3-pass split ranking (_cross_rank) is safe at any cloud size.
+        # |q|^2 is constant per row and irrelevant to the argmin; the
+        # winner's true distance is recomputed outside.
         ctr = q[:, 0:1]
         qc = q - ctr
         cc = c - ctr
-        cross = jax.lax.dot_general(
-            qc, cc, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            # exact-f32 ranking (6-pass); default bf16 mis-ranks at
-            # cm-scale extents — see ops.nn._pairwise_d2
-            precision=jax.lax.Precision.HIGHEST,
-        )  # [T, 9RB]
+        cross = _cross_rank(qc, cc, precise=False)  # [T, 9RB]
         c2 = jnp.sum(cc * cc, axis=0, keepdims=True)  # [1, 9RB]
         d2 = c2 - 2.0 * cross  # ranking score (d^2 - |q|^2)
         # per-slot range id r = f // RB, lane offset j = f % RB
@@ -544,7 +578,8 @@ def cell_list_spec(points, max_dist, headroom=1.5,
 # expansion precision, same contract as ops.nn.nn_brute) and the
 # winner's distance is recomputed exactly by direct subtraction.
 
-def _nn_mxu_kernel(q_ref, m_ref, idx_ref, d2_ref, best_d2, best_ix, *, TM):
+def _nn_mxu_kernel(q_ref, m_ref, idx_ref, d2_ref, best_d2, best_ix, *, TM,
+                   precise):
     wm = pl.program_id(1)
     nm = pl.num_programs(1)
 
@@ -555,12 +590,7 @@ def _nn_mxu_kernel(q_ref, m_ref, idx_ref, d2_ref, best_d2, best_ix, *, TM):
 
     q = q_ref[...]  # [8, TQ] rows 0-2 = xyz (centered), rest 0
     m = m_ref[...]  # [8, TM]
-    cross = jax.lax.dot_general(
-        q, m, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        # exact-f32 ranking (6-pass); default bf16 mis-ranks at cm-scale
-        # extents — see ops.nn._pairwise_d2 (measured 1.6x cost on v5e)
-        precision=jax.lax.Precision.HIGHEST,
-    )  # [TQ, TM]
+    cross = _cross_rank(q, m, precise=precise)  # [TQ, TM]
     m2 = jnp.sum(m * m, axis=0, keepdims=True)  # [1, TM]
     score = m2 - 2.0 * cross  # d2 - |q|2: same argmin
     bm = jnp.min(score, axis=1, keepdims=True).T        # [1, TQ]
@@ -577,14 +607,16 @@ def _nn_mxu_kernel(q_ref, m_ref, idx_ref, d2_ref, best_d2, best_ix, *, TM):
         idx_ref[...] = jnp.broadcast_to(best_ix[0:1, :], idx_ref.shape)
 
 
-@functools.partial(jax.jit, static_argnames=("TQ", "TM", "interpret"))
-def _nn_mxu_call(qT, mT, TQ, TM, interpret=False):
+@functools.partial(
+    jax.jit, static_argnames=("TQ", "TM", "interpret", "precise")
+)
+def _nn_mxu_call(qT, mT, TQ, TM, interpret=False, precise=False):
     """qT: [8, Qpad] centered transposed queries; mT: [8, Mpad] centered
     transposed model (masked/pad columns pushed far away).  Returns
     (idx [Qpad] i32 into the padded model, score [Qpad] f32)."""
     Qpad, Mpad = qT.shape[1], mT.shape[1]
     NQ, NM = Qpad // TQ, Mpad // TM
-    kern = functools.partial(_nn_mxu_kernel, TM=TM)
+    kern = functools.partial(_nn_mxu_kernel, TM=TM, precise=precise)
     idx8, d28 = pl.pallas_call(
         kern,
         grid=(NQ, NM),
@@ -612,12 +644,20 @@ def _nn_mxu_call(qT, mT, TQ, TM, interpret=False):
 
 
 def nn_brute_mxu(
-    query, qmask, model, mmask, max_dist2, TQ: int = 512, TM: int = 1024
+    query, qmask, model, mmask, max_dist2, TQ: int = 256, TM: int = 4096,
+    precise: bool = False,
 ):
-    """Exact NN with the contract of ops.nn.nn_brute (strict d2 <
-    max_dist2, centered ranking + exact winner recompute), through the
-    Pallas MXU kernel.  Fully traceable — safe inside jit/while_loop;
-    interpret mode runs it on CPU backends (tests)."""
+    """NN with the contract of ops.nn.nn_brute (strict d2 < max_dist2,
+    centered ranking + exact winner recompute), through the Pallas MXU
+    kernel.  Fully traceable — safe inside jit/while_loop; interpret
+    mode runs it on CPU backends (tests).
+
+    Ranking precision: default is the 3-pass split ranking
+    (see _cross_rank — rank error ≤ ~1.2e-5 · centered-extent², i.e.
+    candidates closer than that bound may swap; accept distances stay
+    exact).  Pass precise=True for exact-f32 (6-pass) ranking when the
+    centered cloud extent approaches 300·max_dist (the point where the
+    bound reaches ~10% of the match gate)."""
     Q = query.shape[0]
     M = model.shape[0]
     center = jnp.sum(
@@ -644,7 +684,9 @@ def nn_brute_mxu(
     mT = mT.at[:3, :M].set(mc.T)
     mT = mT.at[:3, M:].set(sentinel)
     interpret = jax.default_backend() != "tpu"
-    idx, _score = _nn_mxu_call(qT, mT, TQ, TM, interpret=interpret)
+    idx, _score = _nn_mxu_call(
+        qT, mT, TQ, TM, interpret=interpret, precise=precise
+    )
     idx = jnp.clip(idx[:Q], 0, M - 1)
     diff = query - model[idx]
     best = jnp.sum(diff * diff, axis=1)
