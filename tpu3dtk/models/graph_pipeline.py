@@ -45,6 +45,10 @@ class GraphPipeline:
     # hosts x points mesh (link loop sharded, G/B psum over DCN)
     seq_mesh: object = "auto"
     lum_mesh: object = "auto"
+    # device-resident sequential phase: matching + loop detection in
+    # on-device segments, one fetch per closure (falls back to the
+    # host loop under a mesh or a non-brute NN engine)
+    device_segments: bool = True
 
     def _do_graph_slam(self, scans, links, params):
         if self.slam_algo in (0, 1):
@@ -98,6 +102,22 @@ class GraphPipeline:
             params=self.icp_params, metascan=self.metascan,
             mesh=self.seq_mesh,
         )
+        if self.device_segments and n > 1:
+            prep = seq._prepare(scans)
+            win_max = (len(scans) if self.metascan else 1)
+            eligible = (
+                prep["mesh"] is None
+                and prep.get("chain_spec") is None
+                and not (
+                    prep["grid_buckets"]
+                    and (
+                        seq.nns == "grid"
+                        or win_max * prep["cap"] >= prep["grid_min"]
+                    )
+                )
+            )
+            if eligible:
+                return self._run_segmented(scans, seq, prep, win_max)
         loop_state = 0
         min_dist = -1.0
         first = last = 0
@@ -130,6 +150,92 @@ class GraphPipeline:
             self._close_and_relax(scans, first, last, edges, upto=n - 1)
 
         # final LUM passes (slam6D.cc:520-547)
+        if self.lum_iterations > 0 and self.lum_max_dist2 > 0:
+            self._relax(scans, self.lum_max_dist2, cld2)
+        if self.mdmll > 0:
+            gd2 = self.graph_dist**2 if self.graph_dist > 0 else cld2
+            self._relax(scans, self.mdmll**2, gd2)
+        return results
+
+    def _run_segmented(self, scans: list[TPUScan], seq, prep, win_max):
+        """Device-resident sequential phase: matching AND loop detection
+        run in on-device segments (icp.register_segment_device) — ONE
+        packed fetch per loop closure instead of one per match; ELCH +
+        LUM run host-orchestrated between segments on the fetched poses
+        (the ref interleaving of matchGraph6Dautomatic, slam6D.cc:387-548).
+
+        Produces the same poses, frames records and per-match infos as
+        the host-loop path (asserted by tests/test_graph_pipeline_device)."""
+        import jax.numpy as jnp
+
+        from ..io.frames import AlgoType
+        from ..utils.metrics import MATCHING, metrics
+        from .icp import register_segment_device, unpack_segment
+
+        n = len(scans)
+        cld2 = float(self.cldist**2)
+        results: list[dict] = []
+        edges: list[tuple[int, int]] = []
+        mats_org = np.stack([s.transMatOrg for s in scans]).astype(np.float32)
+        state = (0, -1.0, 0, 0)  # loop_state, min_dist, first, last
+        i_start = 1
+        while i_start < n:
+            mats0 = np.stack([s.transMat for s in scans]).astype(np.float32)
+            with metrics.time(MATCHING):
+                packed = register_segment_device(
+                    prep["locals"], prep["masks"], prep["normals"],
+                    jnp.asarray(mats_org), jnp.asarray(mats0),
+                    jnp.int32(i_start), jnp.int32(n),
+                    jnp.int32(self.loopsize), jnp.float32(cld2),
+                    jnp.asarray(np.asarray(state, np.float32)),
+                    self.icp_params.max_dist_match2, self.icp_params.epsilon,
+                    metascan=self.metascan,
+                    extrapolate=seq.extrapolate_odometry,
+                    window_cap=win_max,
+                    max_iterations=self.icp_params.max_iterations,
+                    minimizer=self.icp_params.minimizer,
+                    subsample=self.icp_params.subsample,
+                    pairing=self.icp_params.pairing,
+                    has_normals=prep["has_normals"],
+                )
+                seg = unpack_segment(packed, n)  # the one fetch
+            # replay pose + frames bookkeeping for the matched span
+            for i in range(i_start, seg["i_next"]):
+                cur = scans[i]
+                T_new = np.asarray(seg["mats"][i], np.float64)
+                u, _, vt = np.linalg.svd(T_new[:3, :3])
+                T_new[:3, :3] = u @ vt
+                cur.set_pose(T_new, AlgoType.ICP)
+                for j, other in enumerate(scans):
+                    if other is cur:
+                        continue
+                    other.add_frame(
+                        AlgoType.ICPINACTIVE if j < i else AlgoType.INVALID
+                    )
+                edges.append((i - 1, i))
+                results.append({
+                    "identifier": cur.identifier,
+                    "iterations": int(seg["iters"][i]),
+                    "error": float(seg["errs"][i]),
+                    "pairs": int(seg["npairs"][i]),
+                })
+            upto = seg["i_next"] - 1
+            if seg["loop_state"] >= 2:
+                self._close_and_relax(
+                    scans, seg["first"], seg["last"], edges, upto=upto
+                )
+                state = (0, -1.0, 0, 0)
+            else:
+                state = (
+                    seg["loop_state"], seg["min_dist"],
+                    seg["first"], seg["last"],
+                )
+            i_start = seg["i_next"]
+
+        if state[0] == 1 and self.elch:
+            self._close_and_relax(
+                scans, state[2], state[3], edges, upto=n - 1
+            )
         if self.lum_iterations > 0 and self.lum_max_dist2 > 0:
             self._relax(scans, self.lum_max_dist2, cld2)
         if self.mdmll > 0:
