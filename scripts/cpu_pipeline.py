@@ -109,8 +109,11 @@ def run_cpu_pipeline(
     lum_epsilon=0.1,
     cldist=700.0,
     loopsize=10,
+    closure_lum_iterations=None,
 ):
-    """Same schedule as GraphPipeline.run (elch=True, slerp, -G 1)."""
+    """Same schedule as GraphPipeline.run (elch=True, slerp, -G 1);
+    closure_lum_iterations mirrors GraphPipeline's per-closure LUM
+    budget (reference: doGraphSlam6D(gr, allScans, 1), slam6D.cc:508)."""
     n = len(locals_)
     mats = [m.copy() for m in odo_mats]
     org = [m.copy() for m in odo_mats]
@@ -120,14 +123,15 @@ def run_cpu_pipeline(
     min_dist = -1.0
     first = last = 0
 
-    def relax(upto):
+    def relax(upto, iters=None):
         sub = list(range(upto + 1))
         positions = np.stack([mats[i][:3, 3] for i in sub])
         links = build_proximity_graph(positions, cld2, loopsize)
         new = lum_f64(
             [locals_[i] for i in sub], [mats[i] for i in sub],
             [tuple(l) for l in links], lum_max_dist2,
-            iters=lum_iterations, eps=lum_epsilon,
+            iters=(lum_iterations if iters is None else iters),
+            eps=lum_epsilon,
         )
         for i, M in zip(sub, new):
             mats[i] = M
@@ -159,7 +163,7 @@ def run_cpu_pipeline(
                 icp_max_dist2, icp_iterations, upto=i,
             )
             edges.append((first, last))
-            relax(i)
+            relax(i, iters=closure_lum_iterations)
 
     if loop_state == 1:
         _close_loop_slerp(

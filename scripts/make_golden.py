@@ -300,6 +300,176 @@ def synth_loop(n_scans=60, seed=7, n_pts=6000, density=1.0):
     return locals_, true_mats, odo_mats
 
 
+def synth_ring(n_scans=468, n_pts=16384, radius=4500.0, half_width=300.0,
+               half_height=600.0, laps=1.3, drift=2.0, seed=11):
+    """The hannover2 regime: a ring CORRIDOR (two cylindrical walls +
+    floor + ceiling + pillars) traversed for ``laps`` laps, so the
+    second lap continuously re-visits the first — the -L 4 continuous
+    loop-closure schedule of the reference (README.md hannover2 config).
+    Unlike :func:`synth_loop`, the geometry scales with n_scans: scan
+    spacing stays sensor-realistic (~laps·2πR/n cm) instead of shrinking
+    to nothing.  Returns (locals [n][n_pts,3] f32, true_mats, odo_mats).
+    """
+    from tpu3dtk.core import math3d
+
+    rng = np.random.default_rng(seed)
+    cy = 0.0
+    # corridor surface sampling: area-weighted among inner wall, outer
+    # wall, floor, ceiling; ~1.2M points for a 45 m ring
+    n_env = 1_200_000
+    phi = rng.uniform(0, 2 * np.pi, n_env)
+    kind = rng.integers(0, 4, n_env)
+    r = np.where(
+        kind == 0, radius - half_width,
+        np.where(kind == 1, radius + half_width,
+                 rng.uniform(radius - half_width, radius + half_width, n_env)),
+    )
+    y = np.where(
+        kind == 2, cy - half_height,
+        np.where(kind == 3, cy + half_height,
+                 rng.uniform(cy - half_height, cy + half_height, n_env)),
+    )
+    env = np.stack([r * np.cos(phi), y, r * np.sin(phi)], axis=1)
+    # pillars along the ring every ~15 degrees
+    extra = [env]
+    for a in np.arange(0, 2 * np.pi, np.pi / 12):
+        n_p = 3000
+        ang = rng.uniform(0, 2 * np.pi, n_p)
+        pr = 40.0
+        c = np.array([radius * np.cos(a), 0.0, radius * np.sin(a)])
+        extra.append(np.stack(
+            [c[0] + pr * np.cos(ang),
+             rng.uniform(cy - half_height, cy + half_height, n_p),
+             c[2] + pr * np.sin(ang)], axis=1,
+        ))
+    # clutter boxes on the corridor floor: the asymmetric structure
+    # that anchors the tangential DOF (a bare ring corridor is
+    # rotationally symmetric — ICP's cost valley is flat along the
+    # tangent and sparse-sampling noise makes the chain slide)
+    n_boxes = 240
+    for _ in range(n_boxes):
+        a = rng.uniform(0, 2 * np.pi)
+        br = rng.uniform(radius - half_width + 60, radius + half_width - 60)
+        c = np.array([br * np.cos(a), cy - half_height, br * np.sin(a)])
+        w, d, h = rng.uniform(40, 160, 3)
+        yaw = rng.uniform(0, 2 * np.pi)
+        n_b = 2200
+        face = rng.integers(0, 5, n_b)  # 4 sides + top
+        u, v = rng.uniform(0, 1, n_b), rng.uniform(0, 1, n_b)
+        bx = np.where(face == 0, 0.0, np.where(face == 1, w, u * w))
+        bz = np.where(face == 2, 0.0, np.where(face == 3, d, v * d))
+        bx = np.where(face >= 2, u * w, bx)
+        bz = np.where(face < 2, v * d, bz)
+        by = np.where(face == 4, h, v * h)
+        bx, bz = bx - w / 2, bz - d / 2
+        ca, sa = np.cos(yaw), np.sin(yaw)
+        pts = np.stack(
+            [c[0] + ca * bx - sa * bz, c[1] + by, c[2] + sa * bx + ca * bz],
+            axis=1,
+        )
+        extra.append(pts)
+    env = np.concatenate(extra).astype(np.float32)
+
+    range_max = 8.0 * half_width
+    true_mats, odo_mats, locals_ = [], [], []
+    dacc = np.zeros(3)
+    for k in range(n_scans):
+        ang = laps * 2 * np.pi * k / n_scans
+        center = np.array(
+            [radius * np.cos(ang), cy, radius * np.sin(ang)]
+        )
+        theta = np.array([0.0, -ang, 0.0])
+        T = np.asarray(math3d.euler_to_matrix4(center, theta, xp=np))
+        true_mats.append(T)
+        d2 = ((env - center) ** 2).sum(1)
+        inr = d2 < range_max**2
+        vis = env[inr]
+        # solid-angle sampling (P ∝ 1/d²): a real scanner resolves
+        # nearby surfaces densely — uniform-area sampling leaves ~25 cm
+        # inter-scan surface gaps everywhere and ICP walks the
+        # resulting flat cost valley (measured 2 m per-match error)
+        w = 1.0 / np.maximum(d2[inr], 100.0**2)
+        take = min(n_pts, len(vis))
+        sel = rng.choice(len(vis), take, replace=False, p=w / w.sum())
+        vis = vis[sel]
+        Ti = np.linalg.inv(T)
+        local = vis @ Ti[:3, :3].T + Ti[:3, 3]
+        local += rng.normal(0, 1.0, local.shape)  # 1 cm sensor noise
+        locals_.append(local.astype(np.float32))
+        dacc += rng.normal(0, drift, 3)
+        To = T.copy()
+        To[:3, 3] += dacc
+        odo_mats.append(To)
+    return locals_, true_mats, odo_mats
+
+
+def synth_city(n_scans=13, n_pts=1_000_000, seed=23):
+    """The bremen_city regime: ~13 dense terrestrial scans (≥1M raw
+    points each) of a city block — ground plane + building facades —
+    taken along a street path (README.md:97-103: riegl_txt, -r 10
+    octree reduction, -d 150 matching).  Returns (locals, true_mats,
+    odo_mats); locals are RAW (unreduced) f32 clouds."""
+    from tpu3dtk.core import math3d
+
+    rng = np.random.default_rng(seed)
+    area = 14000.0  # 140 m square
+    parts = []
+    n_ground = 2_500_000
+    g = rng.uniform(0, area, (n_ground, 2))
+    parts.append(np.stack([g[:, 0], np.zeros(n_ground), g[:, 1]], axis=1))
+    # building blocks on a grid with street gaps
+    for bx in range(4):
+        for bz in range(4):
+            x0, z0 = 800 + bx * 3500, 800 + bz * 3500
+            w, d, h = 2200.0, 2200.0, rng.uniform(800, 2500)
+            n_f = 160_000
+            side = rng.integers(0, 4, n_f)
+            u = rng.uniform(0, 1, n_f)
+            yy = rng.uniform(0, h, n_f)
+            xx = np.where(side == 0, x0, np.where(side == 1, x0 + w, x0 + u * w))
+            zz = np.where(side == 2, z0, np.where(side == 3, z0 + d, z0 + u * d))
+            xx = np.where(side >= 2, x0 + u * w, xx)
+            zz = np.where(side < 2, z0 + u * d, zz)
+            parts.append(np.stack([xx, yy, zz], axis=1))
+    env = np.concatenate(parts).astype(np.float32)
+
+    range_max = 5000.0
+    true_mats, odo_mats, locals_ = [], [], []
+    dacc = np.zeros(3)
+    # street path: L-shaped route through the block grid
+    waypoints = np.linspace(0, 1, n_scans)
+    for k, t in enumerate(waypoints):
+        if t < 0.5:
+            center = np.array([2900.0, 170.0, 1500 + t * 2 * 10000])
+            yaw = 0.0
+        else:
+            center = np.array(
+                [2900 + (t - 0.5) * 2 * 9000, 170.0, 11500.0]
+            )
+            yaw = -np.pi / 2
+        T = np.asarray(
+            math3d.euler_to_matrix4(center, np.array([0.0, yaw, 0.0]), xp=np)
+        )
+        true_mats.append(T)
+        d2 = ((env - center) ** 2).sum(1)
+        inr = d2 < range_max**2
+        vis = env[inr]
+        # solid-angle sampling (P ∝ 1/d², Gumbel top-k): see synth_ring
+        w = 1.0 / np.maximum(d2[inr], 300.0**2)
+        keys = np.log(w) + rng.gumbel(size=len(vis))
+        take = min(n_pts, len(vis))
+        vis = vis[np.argpartition(-keys, take - 1)[:take]]
+        Ti = np.linalg.inv(T)
+        local = vis @ Ti[:3, :3].T + Ti[:3, 3]
+        local += rng.normal(0, 1.5, local.shape)
+        locals_.append(local.astype(np.float32))
+        dacc += rng.normal(0, 15.0, 3)  # coarse GPS/odometry prior
+        To = T.copy()
+        To[:3, 3] += dacc
+        odo_mats.append(To)
+    return locals_, true_mats, odo_mats
+
+
 def golden_loop60():
     locals_, true_mats, odo_mats = synth_loop()
     idents = [f"{k:03d}" for k in range(len(true_mats))]

@@ -153,10 +153,91 @@ def main():
         ),
         "note": "reference slam6D not buildable in this image (no boost/suitesparse)",
     }
-    with open(os.path.join(REPO, "BASELINE_MEASURED.json"), "w") as f:
+    _merge(out)
+
+
+def _merge(update):
+    """Merge results into BASELINE_MEASURED.json (workloads are measured
+    separately — the 468/bremen runs take tens of minutes on 2 cores)."""
+    path = os.path.join(REPO, "BASELINE_MEASURED.json")
+    out = {}
+    if os.path.exists(path):
+        out = json.load(open(path))
+    out.update(update)
+    out["host"] = f"{os.cpu_count()}-core VM (same host as the TPU bench)"
+    with open(path, "w") as f:
         json.dump(out, f, indent=1)
-    print(json.dumps(out))
+    print(json.dumps(update))
+
+
+def measure_h468():
+    """CPU denominator for bench.bench_hannover468 — identical
+    schedule: 468-scan ring, -d 50 ICP (50 it, eps 1e-6), continuous
+    slerp closures with 1-iteration per-closure LUM, final 10-iteration
+    LUM (eps 0.1)."""
+    from cpu_pipeline import run_cpu_pipeline
+    from make_golden import synth_ring
+
+    from tpu3dtk.core.scan import TPUScan
+
+    locals_, true_mats, odo_mats = synth_ring(n_scans=468)
+    red = []
+    for loc in locals_:
+        s_ = TPUScan.from_points(loc, "x")
+        s_.set_reduction(10.0, 1)
+        red.append(np.asarray(s_.reduced_local(), np.float64))
+    t0 = time.perf_counter()
+    mats = run_cpu_pipeline(
+        red, odo_mats,
+        icp_max_dist2=2500.0, icp_iterations=50,
+        lum_max_dist2=2500.0, lum_iterations=10, lum_epsilon=0.1,
+        cldist=300.0, loopsize=10, closure_lum_iterations=1,
+    )
+    ms = (time.perf_counter() - t0) * 1000.0
+    pos_est = np.stack([m[:3, 3] for m in mats])
+    pos_true = np.stack([m[:3, 3] for m in true_mats])
+    ate = float(np.sqrt(((pos_est - pos_true) ** 2).sum(1).mean()))
+    _merge({"h468_ms": round(ms, 1), "h468_ate_rmse_cm": round(ate, 2)})
+
+
+def measure_bremen():
+    """CPU denominator for bench.bench_bremen — identical schedule:
+    13 scans reduced at 20 cm, sequential -d 150 ICP (50 it, eps 1e-6),
+    LUM chain + closing link (5 it, eps 0.5)."""
+    from make_golden import lum_f64, synth_city
+
+    from tpu3dtk.core import math3d
+    from tpu3dtk.core.scan import TPUScan
+
+    locals_, true_mats, odo_mats = synth_city()
+    red = []
+    for loc in locals_:
+        s_ = TPUScan.from_points(loc, "x")
+        s_.set_reduction(20.0, 1)
+        red.append(np.asarray(s_.reduced_local(), np.float64))
+    mats = [m.copy() for m in odo_mats]
+    t0 = time.perf_counter()
+    for i in range(1, len(red)):
+        delta = mats[i - 1] @ np.asarray(math3d.m4inv(odo_mats[i - 1]))
+        T0 = delta @ mats[i]
+        model = red[i - 1] @ mats[i - 1][:3, :3].T + mats[i - 1][:3, 3]
+        mats[i] = cpu_icp_match(model, red[i], T0, 150.0**2, 50, 1e-6)
+    links = [(i, i + 1) for i in range(len(red) - 1)] + [(0, len(red) - 1)]
+    mats = lum_f64(red, mats, links, 150.0**2, iters=5, eps=0.5)
+    ms = (time.perf_counter() - t0) * 1000.0
+    pos_est = np.stack([m[:3, 3] for m in mats])
+    pos_true = np.stack([m[:3, 3] for m in true_mats])
+    ate = float(np.sqrt(((pos_est - pos_true) ** 2).sum(1).mean()))
+    _merge({"bremen_ms": round(ms, 1), "bremen_ate_rmse_cm": round(ate, 2)})
 
 
 if __name__ == "__main__":
-    main()
+    which = sys.argv[1] if len(sys.argv) > 1 else "base"
+    if which == "base":
+        main()
+    elif which == "h468":
+        measure_h468()
+    elif which == "bremen":
+        measure_bremen()
+    else:
+        raise SystemExit(f"unknown workload {which}")

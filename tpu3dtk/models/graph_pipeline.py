@@ -40,6 +40,11 @@ class GraphPipeline:
     mdmll: float = -1.0  # --DlastSLAM (final pass match distance)
     graph_dist: float = -1.0  # --graphDist (final pass graph distance)
     slam_algo: int = 1  # -G: 1 lum6DEuler, 2 lum6DQuat, 3 ghelix6DQ2, 4 gapx6D
+    # LUM iterations for the PER-CLOSURE relax (the reference runs
+    # doGraphSlam6D(gr, allScans, 1) inside the loop, slam6D.cc:508,
+    # and the full -I budget only in the final passes).  None = use
+    # lum_iterations for both (the behavior of earlier rounds).
+    closure_lum_iterations: int | None = None
     # meshes: "auto" = per-driver default; the distributed CLI pins
     # seq_mesh=None (replicated matching) and lum_mesh=the global
     # hosts x points mesh (link loop sharded, G/B psum over DCN)
@@ -57,14 +62,18 @@ class GraphPipeline:
 
         return GRAPHSLAM_VARIANTS[self.slam_algo](scans, links, params)
 
-    def _lum_params(self, max_dist2: float) -> "gs.LumParams":
+    def _lum_params(
+        self, max_dist2: float, iterations: int | None = None
+    ) -> "gs.LumParams":
         """LumParams with the sequence-wide pinned shapes: ONE point
         cap, ONE scan cap, ONE hash spec and the pre-uploaded device
         tensors, so every LUM invocation over a growing prefix reuses
         one compiled executable (VERDICT r2 item 2: compile spam)."""
         p = gs.LumParams(
             max_dist_match2=max_dist2,
-            iterations=self.lum_iterations,
+            iterations=(
+                self.lum_iterations if iterations is None else iterations
+            ),
             epsilon=self.lum_epsilon,
             scan_cap=self._scan_cap,
             device_points=self._device_points,
@@ -275,7 +284,11 @@ class GraphPipeline:
                 positions, self.cldist**2, self.loopsize
             )
             self._do_graph_slam(
-                sub, links, self._lum_params(self.lum_max_dist2)
+                sub, links,
+                self._lum_params(
+                    self.lum_max_dist2,
+                    iterations=self.closure_lum_iterations,
+                ),
             )
 
     def _relax(self, scans, max_dist2, graph_cld2):
