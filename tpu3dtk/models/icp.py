@@ -536,12 +536,13 @@ def icp_pair_chained(
         )
         return res
     build = jax.jit(
-        npl.build_cell_list_model, static_argnames=("dims", "RB")
+        npl.build_cell_list_model, static_argnames=("dims", "RB", "perm")
     )
+    perm = tuple(spec.get("perm", (0, 1, 2)))
     clm, oob_m = build(
         model, jnp.asarray(mmask), jnp.asarray(spec["origin"]),
         jnp.float32(np.sqrt(max_dist_match2)),
-        dims=spec["dims"], RB=spec["RB"],
+        dims=spec["dims"], RB=spec["RB"], perm=perm,
     )
     md2 = jnp.float32(max_dist_match2)
     guard = jnp.int32(0)
@@ -553,7 +554,7 @@ def icp_pair_chained(
         tgt_g = _chain_transform(T, target_local)
         idx, d2, found, overflow, oob_q = npl.nn_cell_list_chained(
             tgt_g, tmask, clm, md2, dims=spec["dims"], RB=spec["RB"],
-            chunk=spec.get("chunk", 256),
+            chunk=spec.get("chunk", 256), perm=perm,
         )
         T, err, npairs = _chain_update(
             model, idx, found, tgt_g, T, minimizer=minimizer

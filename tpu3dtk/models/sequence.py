@@ -246,24 +246,31 @@ class SequenceRegistration:
             if _jax.default_backend() == "tpu":
                 from ..ops import nn_pallas as npl
 
-                all_g = np.concatenate(
-                    [
-                        np.asarray(
-                            math3d.transform3(s.transMat, s.reduced_local())
-                        )
-                        for s in scans
-                    ]
-                ).astype(np.float32)
+                clouds = [
+                    np.asarray(
+                        math3d.transform3(s.transMat, s.reduced_local())
+                    ).astype(np.float32)
+                    for s in scans
+                ]
+                all_g = np.concatenate(clouds)
                 max_dist = float(np.sqrt(self.params.max_dist_match2))
-                spec = npl.cell_list_spec(
-                    all_g, max_dist, headroom=2.0,
-                    queries=[
-                        np.asarray(
-                            math3d.transform3(s.transMat, s.reduced_local())
-                        )
-                        for s in scans
-                    ],
-                )
+                if win_max <= 1:
+                    # window-1 matching: the model is ONE scan per
+                    # match — size RB against per-scan models and the
+                    # consecutive-pair query pattern (the union
+                    # overestimates by the overlap factor and declines
+                    # on dense city clouds)
+                    spec = npl.cell_list_spec(
+                        all_g, max_dist, headroom=2.0,
+                        model_sets=clouds, queries=clouds,
+                        pairs=[
+                            (i - 1, i) for i in range(1, len(clouds))
+                        ],
+                    )
+                else:
+                    spec = npl.cell_list_spec(
+                        all_g, max_dist, headroom=2.0, queries=clouds,
+                    )
                 if (
                     spec is not None
                     and 9 * spec["RB"] < win_max * cap
