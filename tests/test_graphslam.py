@@ -206,3 +206,49 @@ def test_link_covariances_grid_overflow_flag(rng):
         jnp.float32(2500.0), n_buckets=1024, bucket_cap=8,
     )
     assert bool(overflow)
+
+
+def test_link_covariances_chained_matches_brute(rng):
+    """Pallas cell-list chained LUM covariances equal the brute path
+    (the city-scale engine, graphslam.link_covariances_chained)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tests.conftest import make_room_cloud
+    from tpu3dtk.models import graphslam as gs
+    from tpu3dtk.ops import nn_pallas as npl
+
+    S, N = 3, 1600
+    pts = np.zeros((S, N, 3), np.float32)
+    masks = np.zeros((S, N), bool)
+    for i in range(S):
+        c = make_room_cloud(rng, n=N, size=700.0)
+        c += np.array([i * 5.0, 0, 0])
+        n = min(len(c), N) - i * 80  # ragged
+        pts[i, :n] = c[:n]
+        masks[i, :n] = True
+    links = np.array([[0, 1], [1, 2], [0, 2]], np.int32)
+    md2 = 2500.0
+    spec = npl.cell_list_spec(
+        np.concatenate([pts[i][masks[i]] for i in range(S)]),
+        50.0, headroom=2.0,
+        queries=[pts[i][masks[i]] for i in range(S)],
+    )
+    assert spec is not None
+    C1, CD1, m1, guard = gs.link_covariances_chained(
+        jnp.asarray(pts), jnp.asarray(masks), links, md2, spec
+    )
+    assert not guard
+    C0, CD0, m0 = gs.link_covariances(
+        jnp.asarray(pts), jnp.asarray(masks), jnp.asarray(links),
+        jnp.float32(md2),
+    )
+    np.testing.assert_allclose(m1, np.asarray(m0), rtol=1e-6)
+    # a handful of near-equidistant pairs may swap under the split
+    # ranking (both are valid in-radius matches); compare by norm
+    C0, CD0 = np.asarray(C0), np.asarray(CD0)
+    for k in range(len(links)):
+        assert np.linalg.norm(C1[k] - C0[k]) < 0.05 * np.linalg.norm(C0[k])
+        assert np.linalg.norm(CD1[k] - CD0[k]) < 0.05 * (
+            np.linalg.norm(CD0[k]) + 1.0
+        )

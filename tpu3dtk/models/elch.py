@@ -213,9 +213,12 @@ def _edge_covariances_euler(scans, graph_edges, params):
             cap *= 2
         links_pad = np.zeros((cap, 2), np.int32)
         links_pad[:E] = np.asarray(graph_edges, np.int32)
+        lmask = np.zeros(cap, bool)
+        lmask[:E] = True
         C, CD, m = link_covariances_global(
             locals_j, masks_j, jnp.asarray(mats), jnp.asarray(links_pad),
             jnp.float32(params.max_dist_match2),
+            link_mask=jnp.asarray(lmask),
         )
         return np.asarray(C[:E], np.float64)
 

@@ -224,7 +224,8 @@ def link_covariances(
 
 @functools.partial(jax.jit, static_argnames=("chunk",))
 def link_covariances_global(
-    locals_pts, masks, mats, links, max_dist2, chunk: int = 4
+    locals_pts, masks, mats, links, max_dist2, chunk: int = 4,
+    link_mask=None,
 ):
     """:func:`link_covariances` fed from RESIDENT local-frame tensors:
     the global transform runs on device from the pose stack, so callers
@@ -243,7 +244,31 @@ def link_covariances_global(
             points_g[i], masks[i], points_g[j], masks[j], max_dist2
         )
 
-    return jax.lax.map(one, links, batch_size=chunk)
+    if link_mask is None:
+        return jax.lax.map(one, links, batch_size=chunk)
+
+    def one_masked(args):
+        link, valid = args
+
+        def real(lk):
+            C, CD, m = one(lk)
+            return (
+                C.astype(jnp.float32), CD.astype(jnp.float32),
+                m.astype(jnp.float32),
+            )
+
+        def skip(lk):
+            # padded link slot: skip the NN entirely (bucketed slot
+            # counts round L up; the padding must not pay O(N*M))
+            return (
+                jnp.zeros((6, 6), jnp.float32),
+                jnp.zeros(6, jnp.float32),
+                jnp.float32(0.0),
+            )
+
+        return jax.lax.cond(valid, real, skip, link)
+
+    return jax.lax.map(one_masked, (links, link_mask), batch_size=chunk)
 
 
 @functools.partial(
@@ -296,6 +321,75 @@ def link_covariances_grid(
 
     C, CD, m = jax.lax.map(one, links, batch_size=chunk)
     return C, CD, m, overflow
+
+
+@jax.jit
+def _lum_stats_from_idx(model_g, idx, tgt_g, found):
+    return lum_pair_stats(model_g[idx], tgt_g, found)
+
+
+def link_covariances_chained(
+    points_g, masks, links, max_dist2, spec,
+):
+    """(C, CD, m) for all links through the Pallas cell-list chain —
+    the city-scale LUM covariance engine (bremen regime: ~300k reduced
+    points per scan, where the O(N·M) MXU brute would cost ~70 s per
+    link).  Host-driven: per link, build the sorted cell-list model of
+    scan i's global points (one jit) and run the chained NN for scan
+    j's points (plan → kernel → post, all async); every dispatch is
+    queued before the single packed fetch at the end.
+
+    ``spec`` comes from ops.nn_pallas.cell_list_spec sized over the
+    whole sequence's global clouds.  Returns (C [L,6,6], CD [L,6],
+    m [L], guard_fired: bool) — on guard (range overflow / out-of-box)
+    the caller should retry with a larger-headroom spec.
+    """
+    from ..ops import nn_pallas as npl
+
+    build = jax.jit(
+        npl.build_cell_list_model, static_argnames=("dims", "RB", "perm")
+    )
+    perm = tuple(spec.get("perm", (0, 1, 2)))
+    cell = jnp.float32(np.sqrt(max_dist2))
+    origin = jnp.asarray(spec["origin"])
+    md2 = jnp.float32(max_dist2)
+    models = {}
+    outs = []
+    guards = []
+    for (i, j) in np.asarray(links):
+        i, j = int(i), int(j)
+        if i not in models:
+            models[i] = build(
+                points_g[i], masks[i], origin, cell,
+                dims=spec["dims"], RB=spec["RB"], perm=perm,
+            )
+        clm, oob_m = models[i]
+        idx, d2, found, overflow, oob_q = npl.nn_cell_list_chained(
+            points_g[j], masks[j], clm, md2,
+            dims=spec["dims"], RB=spec["RB"], chunk=spec["chunk"],
+            perm=perm,
+        )
+        C, CD, m = _lum_stats_from_idx(points_g[i], idx, points_g[j], found)
+        outs.append((C, CD, m))
+        guards.append(overflow.astype(jnp.int32) + oob_q + oob_m)
+    packed = jnp.concatenate(
+        [
+            jnp.concatenate(
+                [C.reshape(36), CD, m[None].astype(jnp.float32)]
+            )[None]
+            for C, CD, m in outs
+        ]
+    )
+    guard = jnp.sum(jnp.stack(guards))
+    packed, guard = jax.device_get((packed, guard))
+    packed = np.asarray(packed)
+    L = len(outs)
+    return (
+        packed[:, :36].reshape(L, 6, 6),
+        packed[:, 36:42],
+        packed[:, 42],
+        int(guard) > 0,
+    )
 
 
 def assemble_GB(links: np.ndarray, C: np.ndarray, CD: np.ndarray, n_scans: int):
@@ -382,6 +476,10 @@ class LumParams:
     # host-path solver split: dense f64 Cholesky below this many scans,
     # block-Jacobi CG (pgsolve.solve_block_cg, O(L) memory) above
     dense_solver_max_scans: int = 65
+    # city-scale point caps (bremen regime) route covariances through
+    # the Pallas cell-list chain on TPU (link_covariances_chained):
+    # O(occupancy) per query instead of the brute O(M) per query
+    chained_min: int = 98304
     # on-device path (models.lum_device): whole relaxation in ONE jitted
     # while_loop with a dense f32 Jacobi-scaled solve; used up to this
     # many scans (6*511 = 3066-dim system — trivial for the MXU), above
@@ -478,7 +576,14 @@ def do_graph_slam(
     larger graphs take the host loop with the block-CG solver."""
     if len(scans) < 2 or len(links) == 0:
         return 0.0
-    if len(scans) > params.device_max_scans:
+    if params.device_points is not None:
+        cap_probe = params.device_points[0].shape[1]
+    else:
+        cap_probe = max(len(s.reduced_local()) for s in scans)
+    if len(scans) > params.device_max_scans or (
+        cap_probe >= params.chained_min
+        and jax.default_backend() == "tpu"
+    ):
         return _do_graph_slam_host(scans, links, params)
 
     from .lum_device import lum_run
@@ -633,6 +738,27 @@ def _do_graph_slam_host(
     elif params.mesh:
         mesh = params.mesh
 
+    chain_spec = None
+    if (
+        jax.default_backend() == "tpu"
+        and cap >= params.chained_min
+        and mesh is None
+    ):
+        from ..ops import nn_pallas as npl
+
+        clouds = [
+            np.asarray(
+                math3d.transform3(s.transMat, s.reduced_local()), np.float32
+            )
+            for s in scans
+        ]
+        chain_spec = npl.cell_list_spec(
+            np.concatenate(clouds),
+            float(np.sqrt(params.max_dist_match2)),
+            headroom=2.0, model_sets=clouds, queries=clouds,
+            pairs=[(int(i), int(j)) for i, j in np.asarray(links)],
+        )
+
     from ..utils.metrics import metrics
 
     ret = np.inf
@@ -641,7 +767,28 @@ def _do_graph_slam_host(
         mats = np.stack([s.transMat for s in scans]).astype(np.float32)
         points_g = jax.vmap(math3d.transform3)(jnp.asarray(mats), locals_j)
         with metrics.time("lum_cov_time"):
-            if mesh is not None:
+            if chain_spec is not None:
+                C, CD, m, guard = link_covariances_chained(
+                    points_g, masks_j, links,
+                    params.max_dist_match2, chain_spec,
+                )
+                if guard:
+                    # range overflow / box exit: re-spec from the
+                    # CURRENT global clouds with double headroom
+                    from ..ops import nn_pallas as npl
+
+                    clouds = [np.asarray(points_g[i]) for i in range(len(scans))]
+                    chain_spec = npl.cell_list_spec(
+                        np.concatenate(clouds),
+                        float(np.sqrt(params.max_dist_match2)),
+                        headroom=4.0, model_sets=clouds, queries=clouds,
+                        pairs=[(int(i), int(j)) for i, j in np.asarray(links)],
+                    )
+                    C, CD, m, guard = link_covariances_chained(
+                        points_g, masks_j, links,
+                        params.max_dist_match2, chain_spec,
+                    )
+            elif mesh is not None:
                 # links data-parallel over the device mesh (SURVEY §2.8.2)
                 from ..parallel import lum_shard
 

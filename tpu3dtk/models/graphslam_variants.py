@@ -80,10 +80,11 @@ def _one_link_raw(model_g, mmask, tgt_g, tmask, max_dist2):
 
 
 @functools.partial(jax.jit, static_argnames=("chunk",))
-def link_raw_sums(points_g, masks, links, max_dist2, chunk: int = 4):
+def link_raw_sums(points_g, masks, links, max_dist2, chunk: int = 4,
+                  link_mask=None):
     """Batched raw sums for all links.  points_g: [S,N,3] f32 global
     frame; masks: [S,N]; links: [L,2] int32.  Returns a dict of [L,...]
-    arrays."""
+    arrays.  ``link_mask``: padded slots skip the NN under lax.cond."""
 
     def one(link):
         i, j = link[0], link[1]
@@ -91,7 +92,28 @@ def link_raw_sums(points_g, masks, links, max_dist2, chunk: int = 4):
             points_g[i], masks[i], points_g[j], masks[j], max_dist2
         )
 
-    return jax.lax.map(one, links, batch_size=chunk)
+    if link_mask is None:
+        return jax.lax.map(one, links, batch_size=chunk)
+
+    def one_masked(args):
+        link, valid = args
+
+        def real(lk):
+            return jax.tree_util.tree_map(
+                lambda x: jnp.asarray(x, jnp.float32), one(lk)
+            )
+
+        def skip(lk):
+            shapes = jax.eval_shape(real, lk)
+            return jax.tree_util.tree_map(
+                lambda sh: jnp.zeros(sh.shape, jnp.float32), shapes
+            )
+
+        return jax.lax.cond(valid, real, skip, link)
+
+    return jax.lax.map(
+        one_masked, (links, link_mask), batch_size=chunk
+    )
 
 
 def _collect_raw(scans: list[TPUScan], links, params: LumParams):
@@ -117,10 +139,12 @@ def _collect_raw(scans: list[TPUScan], links, params: LumParams):
         points_g = jax.vmap(math3d.transform3)(
             jnp.asarray(mats), locals_j
         )
+        lmask = np.zeros(cap_links, bool)
+        lmask[:E] = True
         raw = link_raw_sums(
             points_g, masks_j, jnp.asarray(links_pad),
             jnp.float32(params.max_dist_match2),
-            chunk=params.link_chunk,
+            chunk=params.link_chunk, link_mask=jnp.asarray(lmask),
         )
         return {k: np.asarray(v, np.float64)[:E] for k, v in raw.items()}
     cap = max(len(s.reduced_local()) for s in scans)

@@ -122,7 +122,31 @@ def _link_stats_all(locals_pts, masks, mats, points_g, links, link_mask,
             )
             return lum_pair_stats(points_g[i][idx], points_g[j], found)
 
-    C, CD, m = jax.lax.map(one, links, batch_size=chunk)
+    def one_masked(args):
+        link, valid = args
+
+        def real(lk):
+            C, CD, m = one(lk)
+            return (
+                C.astype(jnp.float32), CD.astype(jnp.float32),
+                m.astype(jnp.float32),
+            )
+
+        def skip(lk):
+            # padded slot: zero covariance WITHOUT paying the NN (the
+            # link bucket rounds L up to a power of two — at h468
+            # scale up to ~40% of slots are padding)
+            return (
+                jnp.zeros((6, 6), jnp.float32),
+                jnp.zeros(6, jnp.float32),
+                jnp.float32(0.0),
+            )
+
+        return jax.lax.cond(valid, real, skip, link)
+
+    C, CD, m = jax.lax.map(
+        one_masked, (links, link_mask), batch_size=chunk
+    )
     w = link_mask.astype(C.dtype)
     return C * w[:, None, None], CD * w[:, None], m * w
 
