@@ -53,3 +53,38 @@ def test_region_growing_two_planes(rng):
     assert da != db
     assert (la == da).mean() > 0.9
     assert (lb == db).mean() > 0.9
+
+
+def test_graph_cut_segmentation_two_walls(rng):
+    """Graph-cut plane segmentation (ref src/segmentation/graph_cut/):
+    a scene of two perpendicular walls around the origin segments into
+    (at least) two large planar segments with consistent labels."""
+    from tpu3dtk.models.segmentation import (
+        GraphCutParams, graph_cut_segmentation,
+    )
+
+    n = 4000
+    # wall A: x = +300 plane; wall B: z = +300 plane (scanner at origin)
+    a = np.stack([
+        np.full(n, 300.0),
+        rng.uniform(-200, 200, n),
+        rng.uniform(-280, 280, n),
+    ], axis=1)
+    b = np.stack([
+        rng.uniform(-280, 280, n),
+        rng.uniform(-200, 200, n),
+        np.full(n, 300.0),
+    ], axis=1)
+    pts = np.concatenate([a, b]) + rng.normal(0, 0.5, (2 * n, 3))
+    labels = graph_cut_segmentation(
+        pts, GraphCutParams(width=180, height=90, min_points=30, tau=2.0)
+    )
+    assert labels.shape == (2 * n,)
+    la = labels[:n]
+    lb = labels[n:]
+    # each wall is dominated by one segment, and they differ
+    ma = np.bincount(la[la >= 0]).argmax()
+    mb = np.bincount(lb[lb >= 0]).argmax()
+    assert ma != mb
+    assert (la == ma).mean() > 0.5
+    assert (lb == mb).mean() > 0.5
