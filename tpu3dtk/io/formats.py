@@ -283,3 +283,15 @@ def parse_scan_text(
     if RGB in channels:
         channels[RGB] = channels[RGB].astype(np.uint8)
     return channels
+
+# ASTM E57 (binary; 3rdparty/e57 + src/slam6d/e572scan.cc in the
+# reference).  Right-handed metres -> uos cm like xyz formats.
+register(
+    FormatSpec(
+        "e57",
+        (XYZ,),
+        transform=_t_xyz,
+        data_suffix=".e57",
+        binary="e57",
+    )
+)

@@ -297,6 +297,14 @@ def read_scan(
 
         channels = read_velodyne(data_path)
         channels["xyz"] = spec.transform(channels["xyz"])
+    elif spec.binary == "e57":
+        from .e57 import read_e57
+
+        channels = {
+            k: v for k, v in read_e57(data_path).items()
+            if not k.startswith("pose_")
+        }
+        channels["xyz"] = spec.transform(channels["xyz"])
     else:
         raw = _load_data_file(data_path, spec)
         channels = parse_scan_text(raw, spec)
