@@ -100,3 +100,45 @@ def test_mesh_writers(tmp_path):
     raw = open(pp, "rb").read()
     assert raw.startswith(b"ply")
     assert f"element vertex {len(verts)}".encode() in raw
+
+
+def test_poisson_reconstruction_sphere(rng):
+    """Screened-Poisson reconstruction (models.mesh.reconstruct_poisson,
+    ref src/mesh/poisson.cc): a noisy oriented sphere reconstructs to a
+    closed surface at the right radius."""
+    from tpu3dtk.models.mesh import PoissonParams, reconstruct_poisson
+
+    n = 8000
+    v = rng.normal(size=(n, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    R = 100.0
+    pts = R * v + rng.normal(0, 0.5, (n, 3))
+    verts, faces = reconstruct_poisson(
+        pts, v, PoissonParams(grid=96, trim_dist=3.0)
+    )
+    assert len(verts) > 500
+    assert len(faces) > 500
+    r = np.linalg.norm(verts, axis=1)
+    assert abs(np.median(r) - R) < 5.0
+    assert r.std() < 6.0
+
+
+def test_poisson_full_grid_watertight(rng):
+    """With trim_dist<=0 the full-grid zero set is extracted: every
+    mesh edge is shared by exactly two triangles (watertight)."""
+    from tpu3dtk.models.mesh import PoissonParams, reconstruct_poisson
+
+    n = 4000
+    v = rng.normal(size=(n, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    pts = 50.0 * v
+    verts, faces = reconstruct_poisson(
+        pts, v, PoissonParams(grid=64, trim_dist=0.0)
+    )
+    assert len(faces) > 200
+    edges = np.concatenate([
+        faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]
+    ])
+    edges = np.sort(edges, axis=1)
+    _, counts = np.unique(edges, axis=0, return_counts=True)
+    assert (counts == 2).all()

@@ -28,7 +28,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-m", "--max", type=float, default=-1, dest="max_range")
     p.add_argument("-r", "--reduce", type=float, default=-1.0)
     p.add_argument("-O", "--octree", type=int, default=1)
-    p.add_argument("--method", choices=("imls", "tsdf"), default="imls")
+    p.add_argument("--method", choices=("imls", "poisson", "tsdf"), default="imls")
     p.add_argument("--voxel", type=float, default=10.0)
     p.add_argument("--trunc", type=float, default=-1.0,
                    help="tsdf truncation (default 3*voxel)")
@@ -90,6 +90,16 @@ def main(argv=None) -> int:
             if not args.quiet:
                 print(f"fused scan {s.identifier}")
         verts, faces = vol.extract_mesh()
+    elif args.method == "poisson":
+        from ..models.mesh import PoissonParams, reconstruct_poisson
+
+        allg = np.concatenate(
+            [
+                np.asarray(math3d.transform3(s.transMat, s.reduced_local()))
+                for s in scans
+            ]
+        )
+        verts, faces = reconstruct_poisson(allg, None, PoissonParams())
     else:
         from ..models.mesh import MeshParams, reconstruct_imls
 
