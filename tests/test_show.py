@@ -75,3 +75,45 @@ def test_show_cli_end_to_end(tmp_path, dat_dir):
     img = read_png(os.path.join(out, "orbit000.png"))
     assert img.shape == (120, 160, 3)
     assert img.max() > 0  # something rendered
+
+
+def test_lod_select_budget_and_culling(rng):
+    """Frustum-culled LOD cut (ops.render.lod_select, ref
+    show_Boctree.h:504-561): honors the point budget, excludes
+    behind-camera geometry, and keeps in-view geometry."""
+    from tpu3dtk.ops.octree import build_octree
+    from tpu3dtk.ops.render import look_at, lod_select
+
+    front = rng.uniform(-500, 500, (120_000, 3)) + np.array([0, 0, 3000.0])
+    behind = rng.uniform(-500, 500, (120_000, 3)) + np.array([0, 0, -3000.0])
+    pts = np.concatenate([front, behind])
+    tree = build_octree(pts, 8.0)
+    pose = look_at(np.zeros(3), np.array([0.0, 0.0, 1.0]))
+    sel, w = lod_select(tree, pose, budget=20_000)
+    assert 0 < len(sel) <= 20_000
+    # everything selected is in front of the camera
+    assert (sel[:, 2] > 0).all()
+    # the in-view half is represented (weights cover most of its points)
+    assert w.sum() > 0.6 * len(front)
+
+
+def test_tpushow_lod_renders_large_scene(tmp_path, rng):
+    """A multi-million-point scene renders through --lod with a bounded
+    budget (ref viewer's city-scale regime)."""
+    import subprocess
+    import sys
+
+    n = 1_200_000
+    pts = rng.uniform(0, 4000, (n, 3)).astype(np.float32)
+    np.savetxt(tmp_path / "scan000.3d", pts[:: n // 200_000], fmt="%.1f")
+    (tmp_path / "scan000.pose").write_text("0 0 0\n0 0 0\n")
+    out = tmp_path / "imgs"
+    r = subprocess.run(
+        [sys.executable, "-m", "tpu3dtk.cli.show", str(tmp_path),
+         "--orbit", "1", "--lod", "50000", "-o", str(out)],
+        capture_output=True, text=True, timeout=300,
+        env={**__import__("os").environ, "TPU3DTK_PLATFORM": "cpu",
+             "TPU3DTK_XLA_CACHE": ""},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert (out / "orbit000.png").exists()

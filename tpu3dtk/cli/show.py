@@ -59,6 +59,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--height", type=int, default=720)
     p.add_argument("--pointsize", type=int, default=1)
     p.add_argument("--color", choices=("height", "depth"), default="height")
+    p.add_argument(
+        "--lod", type=int, default=0,
+        help="per-frame point budget: render through the frustum-culled"
+        " octree LOD cut instead of all points (ref show"
+        " displayOctTreeCulledLOD, include/show/show_Boctree.h:504-561)",
+    )
     p.add_argument("-o", "--out", default="tpushow_out", help="output dir")
     return p
 
@@ -145,10 +151,23 @@ def main(argv=None) -> int:
     pts = world_points(clouds, histories, args.frameno)
     center = 0.5 * (pts.min(0) + pts.max(0))
     radius = float(np.linalg.norm(pts.max(0) - pts.min(0))) * 0.9 + 1.0
+    tree = None
+    if args.lod > 0:
+        from ..ops.octree import build_octree
+
+        # leaf edge ~ the scene size / 1024: deep enough that the LOD
+        # cut, not the leaves, bounds per-frame work
+        tree = build_octree(pts, max(radius / 1024.0, 1e-3))
     for k in range(args.orbit):
         pose = render.orbit_pose(center, radius, 360.0 * k / max(args.orbit, 1))
+        view = pts
+        if tree is not None:
+            view, _w = render.lod_select(
+                tree, pose, fov_deg=args.fov, width=args.width,
+                height=args.height, budget=args.lod,
+            )
         written.append(
-            render_to(os.path.join(args.out, f"orbit{k:03d}.png"), pts, pose)
+            render_to(os.path.join(args.out, f"orbit{k:03d}.png"), view, pose)
         )
     if args.animate > 0:
         max_frames = max(len(h) for h in histories)

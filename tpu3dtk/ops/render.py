@@ -162,3 +162,119 @@ def render_points(
         width=int(width), height=int(height), point_size=int(point_size),
     )
     return np.asarray(img), np.asarray(depth)
+
+
+# ---------------------------------------------------------------------------
+# Frustum-culled LOD selection over the Morton octree
+# ---------------------------------------------------------------------------
+#
+# The reference viewer renders city-scale clouds through its serialized
+# octrees with view culling and per-frame point budgets
+# (Show_BOctTree::displayOctTreeCulledLOD, include/show/show_Boctree.h:
+# 504-561; frustum tests src/show/viewcull.cc:109-799).  The TPU-native
+# redesign walks the LinearOctree LEVELS instead of pointers: at each
+# level every occupied node is one row of a vectorized sphere-frustum
+# test + projected-size test; small-on-screen nodes emit one
+# representative, surviving nodes refine to the next level, and the
+# remaining budget caps the depth of the cut.
+
+
+def _frustum_planes(fov_scale: float, aspect: float):
+    """Inward normals of the 5 frustum planes in camera space
+    (near plane handled by the z test).  Camera looks along +z."""
+    sx = fov_scale            # x_ndc = x * sx / z
+    sy = fov_scale * aspect   # y_ndc = y * sy / z
+    planes = np.array([
+        [sx, 0.0, 1.0],    # left   (x*sx + z >= 0)
+        [-sx, 0.0, 1.0],   # right
+        [0.0, sy, 1.0],    # bottom
+        [0.0, -sy, 1.0],   # top
+        [0.0, 0.0, 1.0],   # near-ish (z >= 0)
+    ])
+    return planes / np.linalg.norm(planes, axis=1, keepdims=True)
+
+
+def lod_select(
+    tree,
+    pose,
+    fov_deg: float = 60.0,
+    width: int = 960,
+    height: int = 720,
+    budget: int = 1_000_000,
+    min_pixels: float = 1.5,
+    start_level: int = 4,
+):
+    """Select at most ~``budget`` display points for the given camera.
+
+    Returns (points [K, 3], weights [K] — points per represented node).
+    The cut emits a node when its voxel projects below ``min_pixels``
+    on screen, when the leaf level is reached, or when refining further
+    would exceed the budget.
+    """
+    pose = np.asarray(pose, np.float64)
+    Rinv = pose[:3, :3].T
+    t = pose[:3, 3]
+    fov_scale = 1.0 / np.tan(np.deg2rad(fov_deg) / 2.0)
+    planes = _frustum_planes(fov_scale, width / height)
+    half_diag = np.sqrt(3.0) / 2.0
+
+    codes = tree.codes
+    counts = tree.counts.astype(np.int64)
+    alive = np.ones(len(codes), bool)
+    out_pts = []
+    out_w = []
+    depth = tree.depth
+
+    for level in range(min(start_level, depth), depth + 1):
+        if not alive.any():
+            break
+        shift = 3 * (depth - level)
+        anc = codes[alive] >> shift
+        uniq, inv = np.unique(anc, return_inverse=True)
+        edge = tree.size / (1 << level)
+        x = _compact3_u64(uniq >> 2)
+        y = _compact3_u64(uniq >> 1)
+        z = _compact3_u64(uniq)
+        centers = tree.origin + (np.stack([x, y, z], 1) + 0.5) * edge
+        r = half_diag * edge
+        cam = (centers - t) @ Rinv.T
+        inside = np.ones(len(uniq), bool)
+        for n in planes:
+            inside &= cam @ n >= -r
+        # projected voxel size in pixels (conservative: at near z)
+        zc = np.maximum(cam[:, 2] - r, 1e-6)
+        px = edge * fov_scale / zc * (width / 2.0)
+        leafish = (px < min_pixels) | (level == depth)
+        # budget check: refining all non-leafish nodes at least doubles
+        # the node count; emit everything at this level when the next
+        # level cannot fit
+        n_emit_now = int(inside.sum())
+        spent = sum(len(p) for p in out_pts)
+        if level < depth:
+            est_next = n_emit_now * 4
+            if spent + est_next > budget:
+                leafish = np.ones_like(leafish)
+        emit = inside & leafish
+        cnt_per_node = np.zeros(len(uniq), np.int64)
+        np.add.at(cnt_per_node, inv, counts[alive])
+        if emit.any():
+            out_pts.append(centers[emit])
+            out_w.append(cnt_per_node[emit])
+        # leaves under culled or emitted nodes stop refining
+        dead_node = ~inside | emit
+        idx_alive = np.where(alive)[0]
+        alive[idx_alive[dead_node[inv]]] = False
+    if not out_pts:
+        return np.zeros((0, 3)), np.zeros(0, np.int64)
+    pts = np.concatenate(out_pts)
+    w = np.concatenate(out_w)
+    if len(pts) > budget:
+        order = np.argsort(-w)[:budget]
+        pts, w = pts[order], w[order]
+    return pts, w
+
+
+def _compact3_u64(v):
+    from .octree import _compact3
+
+    return _compact3(v)
