@@ -90,6 +90,13 @@ def build_parser() -> argparse.ArgumentParser:
         "--normalShoot", dest="normal_shoot", action="store_true",
         help="normal-shooting pairing (ref CLOSEST_POINT_ALONG_NORMAL_SIMPLE)",
     )
+    p.add_argument(
+        "--cache-mb", type=int, default=0,
+        help="out-of-core mode: stream scans through an LRU cache of"
+        " this many MB instead of holding the sequence in RAM (the"
+        " scanserver role, README.scanserver.md; sequential matching"
+        " only — metascan/-L/-G need the resident driver)",
+    )
     p.add_argument("-q", "--quiet", action="store_true")
     p.add_argument("--exportAllPoints", action="store_true")
     p.add_argument("--frames-out", default=None, help="directory for .frames (default: scan dir)")
@@ -154,6 +161,31 @@ def main(argv=None) -> int:
         range_min=args.min_range if args.min_range > 0 else None,
         custom=args.custom_filter,
     )
+    if args.cache_mb > 0:
+        # out-of-core streaming mode (the scanserver role): scans page
+        # through an LRU byte budget; only sequential matching
+        from ..models.streaming import register_streaming
+
+        results = register_streaming(
+            args.dir, format=args.format,
+            params=IcpParams(
+                max_dist_match2=args.dist**2, max_iterations=args.iter,
+                epsilon=args.epsICP,
+            ),
+            point_filter=pf,
+            reduction=(args.reduce, args.octree if args.reduce > 0 else 0),
+            cache_bytes=args.cache_mb << 20,
+            frames_out=args.frames_out or args.dir,
+            start=args.start, end=args.end,
+        )
+        for r in results[1:]:
+            if not args.quiet:
+                print(
+                    f"scan {r['identifier']}: ITER {r['iterations']} "
+                    f"err {r['error']:.4f}"
+                )
+        metrics.report()
+        return 0
     if args.scans:
         # range-set DSL selection: expand against the directory and
         # narrow [start, end] (read_scan_dir filters contiguously; the
