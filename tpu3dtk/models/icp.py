@@ -249,9 +249,9 @@ def _icp_pair_impl(
 
     init = (
         T0,
-        jnp.float32(0.0),
-        jnp.float32(0.0),
-        jnp.float32(0.0),
+        jnp.float64(0.0),  # err carried in f64 (see pair_stats sum_d2)
+        jnp.float64(0.0),
+        jnp.float64(0.0),
         jnp.int32(0),
         jnp.bool_(False),
         jnp.float32(0.0),
@@ -487,13 +487,27 @@ def _chain_transform(T, target_local):
 
 
 @functools.partial(jax.jit, static_argnames=("minimizer",))
-def _chain_update(model, idx, found, tgt_global, T, *, minimizer):
+def _chain_update_conv(model, idx, found, tgt_global, T, conv, eps,
+                       *, minimizer):
+    """One chained-ICP update with the ON-DEVICE two-delta convergence
+    state ``conv`` = (err, prev, prev2, done, n_iters): once done, the
+    pose freezes (align = I) so queued iterations become no-ops and the
+    host keeps its sync cadence sparse while iteration-granular
+    convergence still takes effect (icp6D.cc:266-279)."""
+    err_prev, prev, prev2, done, n_it = conv
     m_pts = model[idx]
     stats = mz.pair_stats(m_pts, tgt_global, found)
     enough = stats.n > 3
     align, err = mz.MINIMIZERS[minimizer](stats)
-    align = jnp.where(enough, align, jnp.eye(4, dtype=jnp.float32))
-    return align @ T, err, stats.n
+    active = enough & ~done
+    align = jnp.where(active, align, jnp.eye(4, dtype=jnp.float32))
+    T_new = align @ T
+    conv_now = (jnp.abs(err - err_prev) < eps) & (
+        jnp.abs(err - prev) < eps
+    )
+    done_new = done | conv_now | ~enough
+    n_new = n_it + (~done).astype(jnp.int32)
+    return T_new, (err, err_prev, prev, done_new, n_new), stats.n
 
 
 def icp_pair_chained(
@@ -502,7 +516,7 @@ def icp_pair_chained(
     max_iterations: int = 50,
     minimizer: str = "quat",
     spec=None,
-    check_every: int = 8,
+    check_every: int = 4,
 ) -> IcpResult:
     """ICP for LARGE models through the Pallas cell-list chain.
 
@@ -546,32 +560,32 @@ def icp_pair_chained(
     )
     md2 = jnp.float32(max_dist_match2)
     guard = jnp.int32(0)
-    err = jnp.float32(0.0)
     npairs = jnp.float32(0.0)
-    prev = prev2 = float("inf")
-    it_done = 0
+    big = jnp.float64(jnp.inf)
+    conv = (big, big, big, jnp.bool_(False), jnp.int32(0))
+    eps_j = jnp.float64(epsilon)
     for it in range(max_iterations):
         tgt_g = _chain_transform(T, target_local)
         idx, d2, found, overflow, oob_q = npl.nn_cell_list_chained(
             tgt_g, tmask, clm, md2, dims=spec["dims"], RB=spec["RB"],
             chunk=spec.get("chunk", 256), perm=perm,
+            cap_over=spec.get("cap_over", 8192),
         )
-        T, err, npairs = _chain_update(
-            model, idx, found, tgt_g, T, minimizer=minimizer
+        T, conv, npairs = _chain_update_conv(
+            model, idx, found, tgt_g, T, conv, eps_j,
+            minimizer=minimizer,
         )
         guard = jnp.maximum(
             guard, overflow.astype(jnp.int32) + oob_q + oob_m
         )
-        it_done = it + 1
         if (it + 1) % check_every == 0 or it == max_iterations - 1:
-            e = float(err)  # sync point (one tunnel round trip)
+            done = bool(conv[3])  # sync point (one tunnel round trip)
             if int(guard) > 0:
                 break  # exactness guard fired: caller redoes with brute
-            if abs(e - prev) < epsilon and abs(e - prev2) < epsilon:
+            if done:
                 break
-            prev2, prev = prev, e
     return IcpResult(
-        T=T, error=err, iterations=jnp.int32(it_done),
+        T=T, error=conv[0], iterations=conv[4],
         n_pairs=npairs, maxocc=guard,
     )
 
@@ -650,7 +664,7 @@ def register_sequence_device(
         T_new = _orthonormalize_rot(res.T)
         live = i < n_scans
         mats = mats.at[i].set(jnp.where(live, T_new, mats[i]))
-        errs = errs.at[i].set(res.error)
+        errs = errs.at[i].set(res.error.astype(jnp.float32))
         iters = iters.at[i].set(res.iterations)
         npairs = npairs.at[i].set(res.n_pairs)
         return mats, errs, iters, npairs
@@ -737,7 +751,7 @@ def register_segment_device(
         )
         T_new = _orthonormalize_rot(res.T)
         mats = mats.at[i].set(T_new)
-        errs = errs.at[i].set(res.error)
+        errs = errs.at[i].set(res.error.astype(jnp.float32))
         iters = iters.at[i].set(res.iterations)
         npairs = npairs.at[i].set(res.n_pairs)
         # two-scan confirmation: a 1 set by the PREVIOUS scan becomes 2

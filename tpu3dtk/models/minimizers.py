@@ -126,7 +126,15 @@ def pair_stats(m, d, w, accum_dtype=jnp.float32, axis_name=None) -> PairStats:
     Sdd = _merge(jnp.einsum("ni,nj->ij", wdd, dd))
     Smm = _merge(jnp.einsum("ni,nj->ij", w[:, None] * dm, dm))
     diff = m - d
-    sum_d2 = _merge(jnp.sum(w * jnp.sum(diff * diff, axis=1)))
+    # f64 island for the CONVERGENCE statistic: at 10^5-pair city scans
+    # an f32 tree-sum carries ~1e-6 relative noise — larger than the
+    # 1e-6 epsilon of the two-delta test, so f32 error values never
+    # converge and every match burns max_iterations (the reference's
+    # f64 sums resolve it, icp6D.cc:266-279).  One [N] f64 reduction is
+    # cheap even under TPU f64 emulation.
+    sum_d2 = _merge(jnp.sum(
+        (w * jnp.sum(diff * diff, axis=1)).astype(jnp.float64)
+    ))
     return PairStats(
         n=n, centroid_m=cm, centroid_d=cd, S=S, Sdd=Sdd, Smm=Smm, sum_d2=sum_d2
     )
