@@ -367,7 +367,7 @@ def link_covariances_chained(
         idx, d2, found, overflow, oob_q = npl.nn_cell_list_chained(
             points_g[j], masks[j], clm, md2,
             dims=spec["dims"], RB=spec["RB"], chunk=spec["chunk"],
-            perm=perm,
+            perm=perm, cap_over=spec.get("cap_over", 8192),
         )
         C, CD, m = _lum_stats_from_idx(points_g[i], idx, points_g[j], found)
         outs.append((C, CD, m))

@@ -249,7 +249,25 @@ def _run_kernel(table, query_sorted, model_sorted, RB, chunk, W, interpret=False
         # the winner row is just base_r + argmin (no one-hot lookup).
         bestd = jnp.full((chunk, 1), jnp.float32(3.4e38))
         bestrow = jnp.zeros((chunk, 1), jnp.int32)
-        jj = jax.lax.broadcasted_iota(jnp.int32, (1, RB), 1)
+        # two-tier range width: per-chunk requirements are heavy-tailed
+        # (p50 is a few hundred rows, RB covers the p99), so ranges
+        # that fit a quarter-width slice rank on [T, RB/4] under
+        # lax.cond — at city scale most do, cutting the matmul + argmin
+        # work ~3-4x without touching exactness
+        RBS = max(128, (RB // 4 // 128) * 128)
+
+        def rank_range(c, width, shift, ln):
+            cc = c - ctr
+            cross = _cross_rank(qc, cc, precise=False)  # [T, width]
+            c2 = jnp.sum(cc * cc, axis=0, keepdims=True)
+            d2 = c2 - 2.0 * cross  # ranking score (d^2 - |q|^2)
+            jj = jax.lax.broadcasted_iota(jnp.int32, (1, width), 1)
+            valid = (jj >= shift) & (jj < shift + ln)
+            d2 = jnp.where(valid, d2, jnp.float32(3.4e38))
+            bm = jnp.min(d2, axis=1, keepdims=True)          # [T, 1]
+            ba = jax.lax.argmin(d2, 1, jnp.int32)[:, None]    # [T, 1]
+            return bm, ba
+
         for r in range(9):
             st = pl.multiple_of(tab_ref[i, 2 + 3 * r], 128)
             pltpu.make_async_copy(
@@ -257,17 +275,23 @@ def _run_kernel(table, query_sorted, model_sorted, RB, chunk, W, interpret=False
                 cand.at[:, pl.ds(np.int32(r * RB), RB)],
                 sems.at[np.int32(r)],
             ).wait()
-            c = cand[:, r * RB:(r + 1) * RB]  # [8, RB] (static slice)
-            cc = c - ctr
-            cross = _cross_rank(qc, cc, precise=False)  # [T, RB]
-            c2 = jnp.sum(cc * cc, axis=0, keepdims=True)  # [1, RB]
-            d2 = c2 - 2.0 * cross  # ranking score (d^2 - |q|^2)
             shift = tab_ref[i, 3 + 3 * r]
             ln = tab_ref[i, 4 + 3 * r]
-            valid = (jj >= shift) & (jj < shift + ln)
-            d2 = jnp.where(valid, d2, jnp.float32(3.4e38))
-            bm = jnp.min(d2, axis=1, keepdims=True)          # [T, 1]
-            ba = jax.lax.argmin(d2, 1, jnp.int32)[:, None]    # [T, 1]
+
+            def small(_, r=r, shift=shift, ln=ln):
+                c = cand[:, r * RB: r * RB + RBS]
+                return rank_range(c, RBS, shift, ln)
+
+            def big(_, r=r, shift=shift, ln=ln):
+                c = cand[:, r * RB:(r + 1) * RB]
+                return rank_range(c, RB, shift, ln)
+
+            if RBS < RB:
+                bm, ba = jax.lax.cond(
+                    shift + ln <= RBS, small, big, 0
+                )
+            else:
+                bm, ba = big(0)
             rows = tab_ref[i, 2 + 3 * r] + ba
             better = bm < bestd
             bestd = jnp.where(better, bm, bestd)
@@ -669,11 +693,14 @@ def cell_list_spec(points, max_dist, headroom=1.5,
             over_q = max(
                 int((req > RB).sum()) * chunk for req in per_pair_reqs
             )
-            if over_q > 8192:
+            if over_q > 24576:
                 continue
+            # lane capacity: 3x the worst estimated overflow (pose
+            # drift can grow it), floor 8192
+            cap_over = int(_round_up(max(8192, 3 * over_q), 4096))
             cand = dict(
                 origin=lo.astype(np.float32), dims=dims, RB=int(RB),
-                chunk=int(chunk), perm=perm,
+                chunk=int(chunk), perm=perm, cap_over=cap_over,
             )
             if best is None or cand["RB"] < best["RB"]:
                 best = cand
