@@ -136,3 +136,60 @@ def test_building_model_openings(rng):
     o = max(all_openings, key=lambda o: -(o.fill))
     ext = o.hi - o.lo
     assert 60 <= ext.max() <= 160 and 50 <= ext.min() <= 120, ext
+
+
+def test_chessboard_detection_and_calibration(rng):
+    """Chessboard corner detection + planar intrinsics bootstrap (ref
+    CalibrationToolbox's findChessboardCorners path)."""
+    from tpu3dtk.models.calibration import (
+        calibrate_from_chessboard_images, detect_chessboard,
+    )
+
+    # render a synthetic chessboard under a pinhole camera
+    f, cx, cy = 500.0, 320.0, 240.0
+    cols, rows = 7, 5
+    sq = 30.0  # mm
+
+    def render(rx, ry, tz):
+        cr, sr = np.cos(rx), np.sin(rx)
+        Rx = np.array([[1, 0, 0], [0, cr, -sr], [0, sr, cr]])
+        cr, sr = np.cos(ry), np.sin(ry)
+        Ry = np.array([[cr, 0, sr], [0, 1, 0], [-sr, 0, cr]])
+        R = Ry @ Rx
+        t = np.array([-sq * (cols + 1) / 2, -sq * (rows + 1) / 2, tz])
+        img = np.zeros((480, 640))
+        yy, xx = np.mgrid[0:480, 0:640]
+        # inverse-map each pixel ray onto the board plane z=0
+        d = np.stack([(xx - cx) / f, (yy - cy) / f, np.ones_like(xx)], -1)
+        d = d @ np.linalg.inv(R).T
+        o = np.linalg.inv(R) @ (-t)
+        lam = -o[2] / d[..., 2]
+        bx = o[0] + lam * d[..., 0]
+        by = o[1] + lam * d[..., 1]
+        inside = (bx > 0) & (bx < (cols + 1) * sq) & \
+            (by > 0) & (by < (rows + 1) * sq) & (lam > 0)
+        par = (np.floor(bx / sq) + np.floor(by / sq)) % 2
+        img[inside] = np.where(par[inside] > 0, 1.0, 0.0)
+        return img
+
+    img = render(0.15, -0.1, 400.0)
+    corners = detect_chessboard(img, (cols, rows))
+    assert corners is not None
+    assert corners.shape == (cols * rows, 2)
+    # corners must lie on the board's inner-corner projections: check
+    # the first corner's neighborhood is a true checker crossing
+    # (response already guaranteed); check grid ordering monotonicity
+    grid = corners.reshape(rows, cols, 2)
+    assert (np.diff(grid[:, :, 0], axis=1) * np.sign(
+        np.diff(grid[0, :2, 0])
+    ) > 0).all()
+
+    imgs = [render(0.15, -0.1, 400.0), render(-0.2, 0.15, 450.0),
+            render(0.05, 0.25, 380.0)]
+    K, rms, used = calibrate_from_chessboard_images(
+        imgs, (cols, rows), sq
+    )
+    assert used == 3
+    assert K is not None
+    assert abs(K[0, 0] - f) / f < 0.2
+    assert rms < 3.0
