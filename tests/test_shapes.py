@@ -58,3 +58,63 @@ def test_detect_planes_rht(rng):
     # every detected normal is an axis
     for p in planes:
         assert np.abs(p.normal).max() > 0.98, p.normal
+
+
+def test_hough_config_file(tmp_path):
+    """ConfigFileHough parsing (ref src/shapes/ConfigFileHough.cc):
+    key-value scan, defaults for missing keys, ignored unknown keys."""
+    from tpu3dtk.io.hough_config import (
+        HOUGH_DEFAULTS, hough_params_from_config, load_hough_config,
+    )
+
+    cfg = tmp_path / "hough.cfg"
+    cfg.write_text(
+        "# comment-ish noise\n"
+        "MaxPointPlaneDist 5.0\n"
+        "MaxPlanes 7\n"
+        "MinSizeAllPoints 33\n"
+        "RhoNum 250\nRhoMax 900\n"
+        "SomethingUnknown 42\n"
+    )
+    c = load_hough_config(str(cfg))
+    assert c["MaxPointPlaneDist"] == 5.0
+    assert c["MaxPlanes"] == 7
+    assert c["MinSizeAllPoints"] == 33
+    assert c["RhoNum"] == 250
+    # untouched keys keep the reference defaults
+    assert c["ThetaNum"] == HOUGH_DEFAULTS["ThetaNum"]
+    hp = hough_params_from_config(c)
+    assert hp.max_planes == 7
+    assert hp.min_inliers == 33
+    assert hp.dist_tol == 5.0
+    assert hp.rho_max == 900.0
+
+
+def test_planes_cli_with_config(tmp_path, rng):
+    import os
+    import subprocess
+    import sys
+
+    n = 3000
+    a = np.stack([rng.uniform(0, 500, n), rng.uniform(0, 500, n),
+                  np.zeros(n)], 1)
+    b = np.stack([rng.uniform(0, 500, n), np.zeros(n),
+                  rng.uniform(0, 500, n)], 1)
+    pts = np.concatenate([a, b]) + rng.normal(0, 0.3, (2 * n, 3))
+    np.savetxt(tmp_path / "scan000.3d", pts, fmt="%.2f")
+    (tmp_path / "scan000.pose").write_text("0 0 0\n0 0 0\n")
+    (tmp_path / "hough.cfg").write_text(
+        "MaxPointPlaneDist 3.0\nMaxPlanes 4\nMinSizeAllPoints 400\n"
+    )
+    out = tmp_path / "planes"
+    r = subprocess.run(
+        [sys.executable, "-m", "tpu3dtk.cli.planes", str(tmp_path),
+         "-C", str(tmp_path / "hough.cfg"), "-o", str(out)],
+        capture_output=True, text=True, timeout=300,
+        env={**os.environ, "TPU3DTK_PLATFORM": "cpu",
+             "TPU3DTK_XLA_CACHE": ""},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert (out / "planes.list").exists()
+    n_planes = len((out / "planes.list").read_text().splitlines())
+    assert 2 <= n_planes <= 4

@@ -28,6 +28,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--min-inliers", type=int, default=200)
     p.add_argument("--max-planes", type=int, default=20)
     p.add_argument("--dist-tol", type=float, default=10.0)
+    p.add_argument(
+        "-C", "--config", default=None,
+        help="ConfigFileHough key-value file (ref bin/hough.cfg,"
+        " src/shapes/ConfigFileHough.cc); explicit flags override it",
+    )
     p.add_argument("-o", "--out", default="planes")
     p.add_argument("-q", "--quiet", action="store_true")
     return p
@@ -47,9 +52,16 @@ def main(argv=None) -> int:
         HoughParams, detect_planes, detect_planes_rht,
     )
 
-    pf = PointFilter(
-        range_max=args.max_range if args.max_range > 0 else None
+    cfg = None
+    if args.config:
+        from ..io.hough_config import load_hough_config
+
+        cfg = load_hough_config(args.config)
+    # -m wins; else the config's MaxDist (ConfigFileHough semantics)
+    range_max = args.max_range if args.max_range > 0 else (
+        cfg["MaxDist"] if cfg and cfg["MaxDist"] > 0 else None
     )
+    pf = PointFilter(range_max=range_max)
     scans = list(
         read_scan_dir(
             args.dir, format=args.format, start=args.start,
@@ -62,10 +74,26 @@ def main(argv=None) -> int:
     s = TPUScan.from_raw(scans[0])
     s.set_reduction(args.reduce, args.octree if args.reduce > 0 else 0)
     pts = np.asarray(s.reduced_local())
-    hp = HoughParams(
-        min_inliers=args.min_inliers, max_planes=args.max_planes,
-        dist_tol=args.dist_tol,
-    )
+    if cfg is not None:
+        from ..io.hough_config import hough_params_from_config
+
+        hp = hough_params_from_config(cfg)
+        import dataclasses as _dc
+
+        overrides = {}
+        if "--min-inliers" in (argv or sys.argv):
+            overrides["min_inliers"] = args.min_inliers
+        if "--max-planes" in (argv or sys.argv):
+            overrides["max_planes"] = args.max_planes
+        if "--dist-tol" in (argv or sys.argv):
+            overrides["dist_tol"] = args.dist_tol
+        if overrides:
+            hp = _dc.replace(hp, **overrides)
+    else:
+        hp = HoughParams(
+            min_inliers=args.min_inliers, max_planes=args.max_planes,
+            dist_tol=args.dist_tol,
+        )
     fn = detect_planes_rht if args.plane_algo == "rht" else detect_planes
     planes = fn(pts, hp)
     os.makedirs(args.out, exist_ok=True)
