@@ -488,9 +488,13 @@ def bench_bremen(n_scans=13, n_pts=1_000_000):
         return scans
 
     def pipeline(scans):
+        # epsilon 1e-4: at 300k discrete pairs a single pair
+        # entering/leaving moves the RMS by ~4e-5, so 1e-6 only ever
+        # fires at an exact f64 fixpoint; 1e-4 is the churn-aware
+        # equivalent and the CPU stand-in uses the same value
         reg = SequenceRegistration(
             params=IcpParams(
-                max_dist_match2=150.0**2, max_iterations=50, epsilon=1e-6
+                max_dist_match2=150.0**2, max_iterations=50, epsilon=1e-4
             ),
         )
         reg.run(scans)
@@ -617,6 +621,14 @@ def run_benchmarks():
     # the HEADLINE workload when its CPU denominator exists
     try:
         extra.update(bench_hannover468())
+        # relative gate: the CPU stand-in runs the SAME schedule, so
+        # its ATE is the drift inherent to the workload; ours must not
+        # be materially worse
+        if ref.get("h468_ate_rmse_cm") and extra.get("h468_ate_rmse_cm"):
+            extra["h468_ate_ok"] = bool(
+                extra["h468_ate_rmse_cm"]
+                < max(10.0, 1.5 * ref["h468_ate_rmse_cm"] + 2.0)
+            )
         if ref.get("h468_ms") and extra.get("h468_wall_s"):
             extra["h468_vs_baseline"] = round(
                 ref["h468_ms"] / (extra["h468_wall_s"] * 1000.0), 3
@@ -629,6 +641,11 @@ def run_benchmarks():
         extra["h468_error"] = repr(e)[:200]
     try:
         extra.update(bench_bremen())
+        if ref.get("bremen_ate_rmse_cm") and extra.get("bremen_ate_rmse_cm"):
+            extra["bremen_ate_ok"] = bool(
+                extra["bremen_ate_rmse_cm"]
+                < max(30.0, 1.3 * ref["bremen_ate_rmse_cm"] + 5.0)
+            )
         if ref.get("bremen_ms") and extra.get("bremen_wall_s"):
             extra["bremen_vs_baseline"] = round(
                 ref["bremen_ms"] / (extra["bremen_wall_s"] * 1000.0), 3

@@ -221,7 +221,7 @@ def measure_bremen():
         delta = mats[i - 1] @ np.asarray(math3d.m4inv(odo_mats[i - 1]))
         T0 = delta @ mats[i]
         model = red[i - 1] @ mats[i - 1][:3, :3].T + mats[i - 1][:3, 3]
-        mats[i] = cpu_icp_match(model, red[i], T0, 150.0**2, 50, 1e-6)
+        mats[i] = cpu_icp_match(model, red[i], T0, 150.0**2, 50, 1e-4)
     links = [(i, i + 1) for i in range(len(red) - 1)] + [(0, len(red) - 1)]
     mats = lum_f64(red, mats, links, 150.0**2, iters=5, eps=0.5)
     ms = (time.perf_counter() - t0) * 1000.0

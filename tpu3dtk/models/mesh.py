@@ -203,7 +203,11 @@ def poisson_field(points, normals, params: PoissonParams | None = None):
     idx_f = jnp.asarray((pts - origin) / voxel, jnp.float32)
     nj = jnp.asarray(nrm, jnp.float32)
     splat = _trilinear_splat(
-        idx_f, jnp.concatenate([nj, jnp.ones((len(pts), 1))], axis=1), G
+        idx_f,
+        jnp.concatenate(
+            [nj, jnp.ones((len(pts), 1), jnp.float32)], axis=1
+        ),
+        G,
     )
     V = splat[..., :3]
     occ = splat[..., 3]
