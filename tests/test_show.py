@@ -117,3 +117,34 @@ def test_tpushow_lod_renders_large_scene(tmp_path, rng):
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert (out / "orbit000.png").exists()
+
+
+def test_color_modes(rng):
+    from tpu3dtk.ops.render import color_by_scan, color_by_value
+
+    c = color_by_scan([10, 20, 5])
+    assert c.shape == (35, 3)
+    assert (c[0] != c[10]).any() and (c[10] != c[30]).any()
+    v = color_by_value(rng.uniform(0, 1, 100))
+    assert v.shape == (100, 3) and v.dtype == np.uint8
+
+
+def test_tpushow_scan_colors(tmp_path, rng):
+    import os
+    import subprocess
+    import sys
+
+    for k in range(2):
+        pts = rng.uniform(0, 500, (2000, 3)) + k * 200
+        np.savetxt(tmp_path / f"scan{k:03d}.3d", pts, fmt="%.1f")
+        (tmp_path / f"scan{k:03d}.pose").write_text("0 0 0\n0 0 0\n")
+    out = tmp_path / "imgs"
+    r = subprocess.run(
+        [sys.executable, "-m", "tpu3dtk.cli.show", str(tmp_path),
+         "--orbit", "1", "--color", "scan", "-o", str(out)],
+        capture_output=True, text=True, timeout=300,
+        env={**os.environ, "TPU3DTK_PLATFORM": "cpu",
+             "TPU3DTK_XLA_CACHE": ""},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert (out / "orbit000.png").exists()

@@ -58,7 +58,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--width", type=int, default=960)
     p.add_argument("--height", type=int, default=720)
     p.add_argument("--pointsize", type=int, default=1)
-    p.add_argument("--color", choices=("height", "depth"), default="height")
+    p.add_argument(
+        "--color",
+        choices=("height", "depth", "scan", "reflectance"),
+        default="height",
+        help="colormanager modes: height ramp, depth ramp, per-scan"
+        " palette, reflectance ramp (reflectance needs -r disabled"
+        " so the channel survives; falls back to height otherwise)",
+    )
     p.add_argument(
         "--lod", type=int, default=0,
         help="per-frame point budget: render through the frustum-culled"
@@ -80,7 +87,7 @@ def load_scene(args):
         range_max=args.max_range if args.max_range > 0 else None,
         range_min=args.min_range if args.min_range > 0 else None,
     )
-    clouds, histories = [], []
+    clouds, histories, reflects = [], [], []
     for raw in read_scan_dir(
         args.dir, format=args.format, start=args.start, end=args.end,
         point_filter=pf,
@@ -101,7 +108,12 @@ def load_scene(args):
             mats = s.transMatOrg[None]
         clouds.append(np.asarray(pts))
         histories.append(np.asarray(mats))
-    return clouds, histories
+        refl = raw.channels.get("reflectance")
+        reflects.append(
+            np.asarray(refl) if refl is not None
+            and len(refl) == len(pts) else None
+        )
+    return clouds, histories, reflects
 
 
 def world_points(clouds, histories, frameno: int):
@@ -124,13 +136,23 @@ def main(argv=None) -> int:
     from ..io.png import write_png
     from ..ops import render
 
-    clouds, histories = load_scene(args)
+    clouds, histories, reflects = load_scene(args)
     if not clouds:
         print(f"no scans found in {args.dir}", file=sys.stderr)
         return 1
     os.makedirs(args.out, exist_ok=True)
 
-    def render_to(path, pts, pose):
+    colors = None
+    if args.color == "scan":
+        colors = render.color_by_scan([len(c) for c in clouds])
+    elif args.color == "reflectance":
+        if all(r is not None for r in reflects) and reflects:
+            colors = render.color_by_value(np.concatenate(reflects))
+        else:
+            print("reflectance channel unavailable (reduced?); "
+                  "falling back to height", file=sys.stderr)
+
+    def render_to(path, pts, pose, pcolors=None):
         if args.color == "depth":
             _, depth = render.render_points(
                 pts, pose, width=args.width, height=args.height,
@@ -141,8 +163,9 @@ def main(argv=None) -> int:
             img = render.color_by_depth(depth, lo, hi)
         else:
             img, _ = render.render_points(
-                pts, pose, width=args.width, height=args.height,
-                fov_deg=args.fov, point_size=args.pointsize,
+                pts, pose, colors=pcolors, width=args.width,
+                height=args.height, fov_deg=args.fov,
+                point_size=args.pointsize,
             )
         write_png(path, img)
         return path
@@ -161,13 +184,18 @@ def main(argv=None) -> int:
     for k in range(args.orbit):
         pose = render.orbit_pose(center, radius, 360.0 * k / max(args.orbit, 1))
         view = pts
+        vcolors = colors
         if tree is not None:
             view, _w = render.lod_select(
                 tree, pose, fov_deg=args.fov, width=args.width,
                 height=args.height, budget=args.lod,
             )
+            vcolors = None  # LOD representatives: height ramp
         written.append(
-            render_to(os.path.join(args.out, f"orbit{k:03d}.png"), view, pose)
+            render_to(
+                os.path.join(args.out, f"orbit{k:03d}.png"), view, pose,
+                vcolors,
+            )
         )
     if args.animate > 0:
         max_frames = max(len(h) for h in histories)

@@ -77,6 +77,33 @@ def color_by_height(points, lo=None, hi=None):
     return (np.stack([r, g, b], 1) * 255).astype(np.uint8)
 
 
+def color_by_value(values, lo=None, hi=None):
+    """Scalar channel -> warm colormap (the reference colormanager's
+    reflectance/amplitude ramps, src/show/colormanager.cc)."""
+    v = np.asarray(values, np.float64)
+    lo = np.percentile(v, 2) if lo is None else lo
+    hi = np.percentile(v, 98) if hi is None else hi
+    t = np.clip((v - lo) / max(hi - lo, 1e-9), 0, 1)
+    r = np.clip(1.5 * t, 0, 1)
+    g = np.clip(1.5 * (t - 0.33), 0, 1)
+    b = np.clip(1.5 * (t - 0.66), 0, 1)
+    return (np.stack([r, g, b], 1) * 255).astype(np.uint8)
+
+
+def color_by_scan(counts):
+    """One distinct color per scan index (colormanager colorScanVal):
+    counts[i] points of scan i, concatenated."""
+    palette = np.array([
+        [230, 60, 60], [60, 180, 60], [70, 110, 240], [230, 200, 50],
+        [200, 70, 200], [70, 210, 210], [240, 140, 40], [150, 150, 150],
+    ], np.uint8)
+    out = np.concatenate([
+        np.tile(palette[i % len(palette)], (c, 1))
+        for i, c in enumerate(counts)
+    ]) if len(counts) else np.zeros((0, 3), np.uint8)
+    return out
+
+
 def color_by_depth(depth_img, near, far):
     """Map a rendered [H,W] depth image to uint8 grayscale."""
     d = np.asarray(depth_img, np.float64)
