@@ -254,7 +254,9 @@ def _run_kernel(table, query_sorted, model_sorted, RB, chunk, W, interpret=False
         # that fit a quarter-width slice rank on [T, RB/4] under
         # lax.cond — at city scale most do, cutting the matmul + argmin
         # work ~3-4x without touching exactness
-        RBS = max(128, (RB // 4 // 128) * 128)
+        # floor 256: a width-128 argmin trips a Mosaic vector-cast
+        # legalization bug (f32->i32 materialization) on v5e
+        RBS = max(256, (RB // 4 // 128) * 128)
 
         def rank_range(c, width, shift, ln):
             cc = c - ctr
