@@ -247,28 +247,29 @@ def link_covariances_global(
     if link_mask is None:
         return jax.lax.map(one, links, batch_size=chunk)
 
-    def one_masked(args):
-        link, valid = args
+    # fori_loop over VALID slots only (valid links come first in the
+    # bucket): padded slots cost nothing; a cond under lax.map's
+    # vmapped chunks would compute both branches
+    L = links.shape[0]
+    n_valid = jnp.sum(link_mask.astype(jnp.int32))
 
-        def real(lk):
-            C, CD, m = one(lk)
-            return (
-                C.astype(jnp.float32), CD.astype(jnp.float32),
-                m.astype(jnp.float32),
-            )
+    def body(k, acc):
+        C_a, CD_a, m_a = acc
+        C, CD, m = one(links[k])
+        return (
+            C_a.at[k].set(C.astype(jnp.float32)),
+            CD_a.at[k].set(CD.astype(jnp.float32)),
+            m_a.at[k].set(m.astype(jnp.float32)),
+        )
 
-        def skip(lk):
-            # padded link slot: skip the NN entirely (bucketed slot
-            # counts round L up; the padding must not pay O(N*M))
-            return (
-                jnp.zeros((6, 6), jnp.float32),
-                jnp.zeros(6, jnp.float32),
-                jnp.float32(0.0),
-            )
-
-        return jax.lax.cond(valid, real, skip, link)
-
-    return jax.lax.map(one_masked, (links, link_mask), batch_size=chunk)
+    return jax.lax.fori_loop(
+        0, n_valid, body,
+        (
+            jnp.zeros((L, 6, 6), jnp.float32),
+            jnp.zeros((L, 6), jnp.float32),
+            jnp.zeros(L, jnp.float32),
+        ),
+    )
 
 
 @functools.partial(

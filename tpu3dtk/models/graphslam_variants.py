@@ -95,25 +95,25 @@ def link_raw_sums(points_g, masks, links, max_dist2, chunk: int = 4,
     if link_mask is None:
         return jax.lax.map(one, links, batch_size=chunk)
 
-    def one_masked(args):
-        link, valid = args
-
-        def real(lk):
-            return jax.tree_util.tree_map(
-                lambda x: jnp.asarray(x, jnp.float32), one(lk)
-            )
-
-        def skip(lk):
-            shapes = jax.eval_shape(real, lk)
-            return jax.tree_util.tree_map(
-                lambda sh: jnp.zeros(sh.shape, jnp.float32), shapes
-            )
-
-        return jax.lax.cond(valid, real, skip, link)
-
-    return jax.lax.map(
-        one_masked, (links, link_mask), batch_size=chunk
+    # fori_loop over VALID slots only (valid links come first in the
+    # bucket): padding costs nothing; a cond under lax.map's vmapped
+    # chunks would compute both branches
+    L = links.shape[0]
+    n_valid = jnp.sum(link_mask.astype(jnp.int32))
+    shapes = jax.eval_shape(one, links[0])
+    init = jax.tree_util.tree_map(
+        lambda sh: jnp.zeros((L,) + sh.shape, jnp.float32), shapes
     )
+
+    def body(k, acc):
+        res = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x, jnp.float32), one(links[k])
+        )
+        return jax.tree_util.tree_map(
+            lambda a, r: a.at[k].set(r), acc, res
+        )
+
+    return jax.lax.fori_loop(0, n_valid, body, init)
 
 
 def _collect_raw(scans: list[TPUScan], links, params: LumParams):

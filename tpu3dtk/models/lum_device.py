@@ -122,30 +122,30 @@ def _link_stats_all(locals_pts, masks, mats, points_g, links, link_mask,
             )
             return lum_pair_stats(points_g[i][idx], points_g[j], found)
 
-    def one_masked(args):
-        link, valid = args
+    # fori_loop over VALID slots only: the link bucket rounds L up to a
+    # power of two and valid links come first, so a dynamic trip count
+    # makes padding free.  (A lax.cond skip under lax.map's vmapped
+    # chunks degenerates to computing BOTH branches — measured: no
+    # savings at all.)
+    L = links.shape[0]
+    n_valid = jnp.sum(link_mask.astype(jnp.int32))
 
-        def real(lk):
-            C, CD, m = one(lk)
-            return (
-                C.astype(jnp.float32), CD.astype(jnp.float32),
-                m.astype(jnp.float32),
-            )
+    def body(k, acc):
+        C_a, CD_a, m_a = acc
+        C, CD, m = one(links[k])
+        return (
+            C_a.at[k].set(C.astype(jnp.float32)),
+            CD_a.at[k].set(CD.astype(jnp.float32)),
+            m_a.at[k].set(m.astype(jnp.float32)),
+        )
 
-        def skip(lk):
-            # padded slot: zero covariance WITHOUT paying the NN (the
-            # link bucket rounds L up to a power of two — at h468
-            # scale up to ~40% of slots are padding)
-            return (
-                jnp.zeros((6, 6), jnp.float32),
-                jnp.zeros(6, jnp.float32),
-                jnp.float32(0.0),
-            )
-
-        return jax.lax.cond(valid, real, skip, link)
-
-    C, CD, m = jax.lax.map(
-        one_masked, (links, link_mask), batch_size=chunk
+    C, CD, m = jax.lax.fori_loop(
+        0, n_valid, body,
+        (
+            jnp.zeros((L, 6, 6), jnp.float32),
+            jnp.zeros((L, 6), jnp.float32),
+            jnp.zeros(L, jnp.float32),
+        ),
     )
     w = link_mask.astype(C.dtype)
     return C * w[:, None, None], CD * w[:, None], m * w
