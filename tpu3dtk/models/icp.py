@@ -524,10 +524,11 @@ def icp_pair_chained(
     only the O(Q·M) MXU brute stays fast — at city scale (M ≳ 10⁵) that
     is the wrong complexity.  Here each iteration is a CHAIN of jits
     (transform → device query plan → cell-list kernel → stats/update),
-    all dispatched asynchronously; the host syncs only every
-    ``check_every`` iterations for the convergence test, so the
-    per-iteration cost is the kernel's O(Q · occupancy) instead of
-    O(Q·M) (measured 8-30x over brute at 256k points on v5e).
+    all dispatched asynchronously; the two-delta convergence test runs
+    ON DEVICE every iteration (the pose freezes once converged) and the
+    host polls the done flag only every ``check_every`` iterations, so
+    the per-iteration cost is the kernel's O(Q · occupancy) instead of
+    O(Q·M) (measured ~5x over brute at 320k points on v5e).
 
     Exactness guards: the per-iteration range-overflow and
     out-of-grid-box scalars accumulate on device; if either fired, the

@@ -105,7 +105,10 @@ def icp_pair_fixed(
         return T_new, ret_new, ret_new, it + 1, done, stats.n
 
     init = (
-        T0, jnp.float32(0.0), jnp.float32(jnp.inf), jnp.int32(0),
+        T0,
+        jnp.float64(0.0),  # err in f64 (pair_stats' convergence island)
+        jnp.float64(jnp.inf),
+        jnp.int32(0),
         jnp.bool_(False), jnp.float32(0.0),
     )
     T, ret, prev, it, done, npairs = jax.lax.while_loop(cond, body, init)
