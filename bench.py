@@ -18,20 +18,19 @@ Extras:
   GraphPipeline (sequential ICP + ELCH loop closure + LUM), reported as
   scans/s with the per-phase breakdown (matching/elch/lum cov/solve).
 
-vs_baseline (FROZEN protocol, round 3): ratio of the CPU
-reference-equivalent wall-time to ours on the hannover_synth 100-scan
-GraphPipeline workload — the reference's own regime (hundreds of
-scans, loop closure, -L 4 -G 1), both sides running the identical
-schedule: sequential ICP (50 iters, eps 1e-6) + ELCH slerp closures +
-LUM (10 iters, eps 0.1) per closure + final relax.  CPU side:
-scripts/cpu_pipeline.py (cKDTree parallel queries + f64 Horn +
-f64 LUM + slerp ELCH), measured by scripts/measure_reference.py into
+vs_baseline (round 5): ratio of the CPU reference-equivalent
+wall-time to ours on the h468 workload — the reference's own regime
+(468 scans x ~16k reduced points, continuous `-L 4` loop closures with
+1-iteration per-closure LUM, final -I relax), both sides running the
+identical schedule.  The 100-scan circuit (round-3's frozen protocol)
+and dat ratios are still reported as hannover_synth_vs_baseline /
+dat_vs_baseline, and the headline falls back to them when the h468
+denominator or its ATE gate is missing.  CPU side:
+scripts/cpu_pipeline.py (cKDTree parallel queries + f64 Horn + f64 LUM
++ slerp ELCH), measured by scripts/measure_reference.py into
 BASELINE_MEASURED.json.  The real slam6D binary is not buildable in
 this image (no Boost/SuiteSparse), so this stand-in is the
-denominator; see the `baseline_caveat` extra.  dat_vs_baseline is
-also reported: the 3-scan bundled workload (ICP 50 iters eps 1e-7 +
-LUM 50 iters eps 1e-5 — same protocol as tests/test_ate.py and the
-committed golden oracle).
+denominator; see the `baseline_caveat` extra.
 
 Accuracy gate: the dat ATE against the protocol-matched f64 oracle must
 be < 5 cm RMSE (`dat_ate_ok`), the same bound tests/test_ate.py
