@@ -244,7 +244,22 @@ def _icp_pair_impl(
         conv = (jnp.abs(ret_new - prev_new) < eps) & (
             jnp.abs(ret_new - prev2_new) < eps
         )
-        done_new = conv | ~enough
+        # pose-fixpoint test: an increment below 100 um / ~1e-5 rad is
+        # the f32 stats-noise floor (measured: increments jitter at
+        # 13-85 um with the error frozen to 4 decimals) — further
+        # iterations random-walk the pose without progress.  The f64
+        # reference reaches the same state as an exact fixpoint and
+        # stops via its eps test; at city-scale pair counts the RMS
+        # churns by far more than any usable eps, so without this the
+        # error test alone never stops f32 pipelines.
+        pose_conv = (
+            jnp.linalg.norm(align[:3, 3]) < jnp.float32(1e-2)
+        ) & (
+            jnp.linalg.norm(
+                align[:3, :3] - jnp.eye(3, dtype=align.dtype)
+            ) < jnp.float32(1e-5)
+        )
+        done_new = conv | (pose_conv & enough) | ~enough
         return (T_new, ret_new, prev_new, prev2_new, it + 1, done_new, npairs)
 
     init = (
@@ -505,7 +520,16 @@ def _chain_update_conv(model, idx, found, tgt_global, T, conv, eps,
     conv_now = (jnp.abs(err - err_prev) < eps) & (
         jnp.abs(err - prev) < eps
     )
-    done_new = done | conv_now | ~enough
+    # pose-fixpoint test (see _icp_pair_impl): increments at the f32
+    # noise floor (<100 um) make no further progress — stop
+    pose_conv = (
+        jnp.linalg.norm(align[:3, 3]) < jnp.float32(1e-2)
+    ) & (
+        jnp.linalg.norm(
+            align[:3, :3] - jnp.eye(3, dtype=align.dtype)
+        ) < jnp.float32(1e-5)
+    )
+    done_new = done | conv_now | (pose_conv & active) | ~enough
     n_new = n_it + (~done).astype(jnp.int32)
     return T_new, (err, err_prev, prev, done_new, n_new), stats.n
 
