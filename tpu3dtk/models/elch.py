@@ -187,6 +187,12 @@ class ElchParams:
     scan_cap: int | None = None
     device_points: tuple | None = None
     link_cap_min: int = 16
+    # persistent NN-correspondence cache (lum_device.CorrCache): edge
+    # pairings are reused across closures while the endpoints' relative
+    # pose stays within tolerance (the reference recomputes every edge
+    # every closure, elch6Dslerp.cc:56-85 — pure waste in the
+    # continuous-closure regime where adjacent poses barely move)
+    corr_cache: object | None = None
 
 
 def _edge_covariances_euler(scans, graph_edges, params):
@@ -208,6 +214,29 @@ def _edge_covariances_euler(scans, graph_edges, params):
         for si, s in enumerate(scans):
             mats[si] = s.transMat.astype(np.float32)
         E = len(graph_edges)
+        cache = params.corr_cache
+        if cache is not None and cache.N == int(locals_j.shape[1]):
+            import jax
+
+            from .lum_device import link_cov_cached
+
+            mats64 = np.tile(np.eye(4), (S, 1, 1))
+            for si, s in enumerate(scans):
+                mats64[si] = s.transMat
+            edges_arr = np.asarray(graph_edges, np.int64)
+            lp, lm, stale_idx, n_stale = cache.prepare(edges_arr, mats64)
+            C, CD, m, cache.idx, cache.found = link_cov_cached(
+                locals_j, masks_j, jnp.asarray(mats),
+                jnp.asarray(lp), jnp.asarray(lm),
+                cache.idx, cache.found,
+                jnp.asarray(stale_idx), jnp.int32(n_stale),
+                jnp.float32(params.max_dist_match2),
+            )
+            C = np.asarray(jax.device_get(C), np.float64)
+            slot = np.array(
+                [cache.slots[tuple(map(int, e))] for e in graph_edges]
+            )
+            return C[slot]
         cap = params.link_cap_min
         while cap < E:
             cap *= 2

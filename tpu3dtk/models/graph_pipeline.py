@@ -79,6 +79,7 @@ class GraphPipeline:
             device_points=self._device_points,
             grid=self._grid_specs.get(max_dist2),
             mesh=self.lum_mesh,
+            corr_cache=self._lum_corr_cache,
         )
         return p
 
@@ -91,6 +92,13 @@ class GraphPipeline:
         locals_pad, masks = gs._pad_scan_points(scans, cap)
         self._scan_cap = len(scans)
         self._device_points = (jnp.asarray(locals_pad), jnp.asarray(masks))
+        # correspondence caches for the continuous-closure regime: one
+        # for the per-closure 1-iteration LUM link set, one for the ELCH
+        # edge covariances (different link sets — separate slot spaces)
+        from .lum_device import CorrCache
+
+        self._lum_corr_cache = CorrCache(cap)
+        self._elch_corr_cache = CorrCache(cap)
         self._grid_specs = {}
         dists = {self.lum_max_dist2}
         if self.mdmll > 0:
@@ -274,6 +282,7 @@ class GraphPipeline:
                         icp_epsilon=self.icp_params.epsilon,
                         scan_cap=self._scan_cap,
                         device_points=self._device_points,
+                        corr_cache=self._elch_corr_cache,
                     ),
                 )
             edges.append((first, last))

@@ -501,6 +501,11 @@ class LumParams:
     link_cap_min: int = 8
     grid: tuple | None = None
     device_points: tuple | None = None
+    # persistent NN-correspondence cache (lum_device.CorrCache) for the
+    # per-closure 1-iteration relax of continuous-closure runs: link
+    # pairings are reused while the endpoints' relative pose stays
+    # within tolerance; covariance stats stay exact at current poses
+    corr_cache: object | None = None
 
 
 def _solve_GX_B(
@@ -660,6 +665,48 @@ def do_graph_slam(
             )
             if int(occ) <= grid_cap:
                 local_grids = grids
+
+        cache = params.corr_cache
+        if (
+            cache is not None
+            and int(params.iterations) == 1
+            and local_grids is None
+            and (mesh is None or mesh.devices.size == 1)
+            and cache.N == int(locals_j.shape[1])
+        ):
+            from .lum_device import lum_step_cached
+
+            mats_np = np.tile(np.eye(4), (S, 1, 1))
+            for si, s in enumerate(scans):
+                mats_np[si] = s.transMat
+            lp2, lm2, stale_idx, n_stale = cache.prepare(
+                np.asarray(links, np.int64), mats_np
+            )
+            pos, theta, ret, cache.idx, cache.found = lum_step_cached(
+                locals_j, masks_j,
+                jnp.asarray(lp2), jnp.asarray(lm2),
+                jnp.asarray(pos0), jnp.asarray(theta0),
+                jnp.int32(n_real), jnp.float32(params.max_dist_match2),
+                cache.idx, cache.found,
+                jnp.asarray(stale_idx), jnp.int32(n_stale),
+            )
+            pos_h, theta_h, ret = jax.device_get((pos, theta, ret))
+            hist = np.concatenate([pos_h, theta_h], axis=-1)[None]
+            n_it = 1
+            ret = float(ret)
+            for k in range(n_it):
+                for si, s in enumerate(scans):
+                    if si == 0:
+                        s.add_frame(AlgoType.LUM)
+                        continue
+                    T = np.asarray(
+                        math3d.euler_to_matrix4(
+                            hist[k, si, :3].astype(np.float64),
+                            hist[k, si, 3:].astype(np.float64),
+                        )
+                    )
+                    s.set_pose(T, AlgoType.LUM, record=True)
+            return ret
 
         kwargs = dict(
             iterations=int(params.iterations),

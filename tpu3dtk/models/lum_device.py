@@ -44,12 +44,14 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core import math3d
 from ..ops import nn as nn_ops
 from .graphslam import lum_pair_stats
 
-__all__ = ["lum_run", "build_local_grids"]
+__all__ = ["lum_run", "build_local_grids", "lum_step_cached",
+           "link_cov_cached", "CorrCache"]
 
 
 @functools.partial(jax.jit, static_argnames=("n_buckets",))
@@ -308,3 +310,192 @@ def lum_run(
     )
     pos, theta, ret, it, hist = jax.lax.while_loop(cond, body, init)
     return pos, theta, hist, it, ret
+
+
+# ---------------------------------------------------------------------------
+# Correspondence-cached link covariances (continuous-closure fast path)
+# ---------------------------------------------------------------------------
+#
+# The reference recomputes every link's NN pairing on every closure
+# (elch6Dslerp.cc:56-85 loops covarianceQuat over ALL edges; slam6D.cc:508
+# re-runs doGraphSlam6D over the full prefix graph).  In the continuous-
+# closure regime (hannover2 -L 4) that is the dominant cost: each closure
+# pays O(links) brute NN passes while the poses have barely moved since
+# the previous closure two scans earlier.
+#
+# NN correspondences depend ONLY on the relative pose T_i^-1 T_j of a
+# link's endpoints (distances are rigid-invariant), so they are cached
+# per link and refreshed only when the relative pose drifts beyond a
+# tolerance.  The covariance STATS (lum_pair_stats: global-frame midpoint
+# sums, lum6Deuler.cc:141-232) are recomputed EXACTLY from the current
+# global poses every call — only the argmin is reused, so the result
+# equals the uncached path up to pairs whose NN assignment flipped within
+# the drift tolerance (distance error bounded by 2*(dt + r*dtheta)).
+
+
+def _refresh_and_stats(locals_pts, masks, mats, links, link_mask,
+                       idx_cache, found_cache, stale_idx, n_stale,
+                       max_dist2):
+    """Shared body: refresh NN for stale link slots, then batched
+    (C, CD, m) for ALL slots from cached pairings at current poses."""
+    points_g = (
+        jnp.einsum("sij,snj->sni", mats[:, :3, :3], locals_pts)
+        + mats[:, None, :3, 3]
+    ).astype(jnp.float32)
+    md2 = jnp.float32(max_dist2)
+
+    def body(k, carry):
+        idx_c, found_c = carry
+        sl = stale_idx[k]
+        i, j = links[sl, 0], links[sl, 1]
+        idx, _, found = nn_ops.nn_brute_auto(
+            points_g[j], masks[j], points_g[i], masks[i], md2
+        )
+        return idx_c.at[sl].set(idx.astype(jnp.int32)), found_c.at[sl].set(found)
+
+    idx_cache, found_cache = jax.lax.fori_loop(
+        0, n_stale, body, (idx_cache, found_cache)
+    )
+
+    pi = links[:, 0]
+    pj = links[:, 1]
+    a = jnp.take_along_axis(points_g[pi], idx_cache[..., None], axis=1)
+    b = points_g[pj]
+    d2 = jnp.sum((a - b) ** 2, axis=-1)
+    found = found_cache & (d2 <= md2)
+    C, CD, m = jax.vmap(lum_pair_stats)(a, b, found)
+    w = link_mask.astype(C.dtype)
+    return (
+        idx_cache, found_cache,
+        C * w[:, None, None], CD * w[:, None], m * w,
+    )
+
+
+@functools.partial(jax.jit, donate_argnames=("idx_cache", "found_cache"))
+def link_cov_cached(locals_pts, masks, mats, links, link_mask,
+                    idx_cache, found_cache, stale_idx, n_stale, max_dist2):
+    """(C, CD, m, idx_cache, found_cache) for all link slots with cached
+    correspondences — the ELCH edge-covariance fast path."""
+    idx_cache, found_cache, C, CD, m = _refresh_and_stats(
+        locals_pts, masks, mats, links, link_mask,
+        idx_cache, found_cache, stale_idx, n_stale, max_dist2,
+    )
+    return C, CD, m, idx_cache, found_cache
+
+
+@functools.partial(jax.jit, donate_argnames=("idx_cache", "found_cache"))
+def lum_step_cached(locals_pts, masks, links, link_mask, pos0, theta0,
+                    n_scans, max_dist2, idx_cache, found_cache,
+                    stale_idx, n_stale):
+    """ONE LUM iteration (the per-closure doGraphSlam6D(gr, scans, 1),
+    slam6D.cc:508) with cached correspondences: refresh stale links →
+    exact stats → assemble → dense solve → pose update, in one jit.
+
+    Returns (pos [S,3], theta [S,3], ret, idx_cache, found_cache)."""
+    S = locals_pts.shape[0]
+    pos = pos0.astype(jnp.float32)
+    theta = theta0.astype(jnp.float32)
+    mats = math3d.euler_to_matrix4(pos, theta, xp=jnp).astype(jnp.float32)
+    idx_cache, found_cache, C, CD, m = _refresh_and_stats(
+        locals_pts, masks, mats, links, link_mask,
+        idx_cache, found_cache, stale_idx, n_stale, max_dist2,
+    )
+    X = _assemble_solve(links, link_mask, C, CD, S, n_scans)
+    corr = _ha_corrections(pos[1:], theta[1:], X)
+    valid = (jnp.arange(1, S) < n_scans).astype(corr.dtype)
+    corr = corr * valid[:, None]
+    pos = pos.at[1:].add(-corr[:, :3])
+    theta = theta.at[1:].add(-corr[:, 3:])
+    ret = jnp.sum(jnp.linalg.norm(corr[:, :3], axis=1)) / jnp.maximum(
+        n_scans.astype(jnp.float32), 1.0
+    )
+    return pos, theta, ret, idx_cache, found_cache
+
+
+class CorrCache:
+    """Host-side bookkeeping for the correspondence cache: persistent
+    slot assignment per link, per-slot relative pose at the last NN
+    refresh, and the resident [L, N] idx/found device arrays.
+
+    ``tol_t`` (cm) / ``tol_r`` (rad): relative-pose drift beyond which a
+    link's correspondences are recomputed.  New links are always stale.
+    """
+
+    def __init__(self, n_points: int, tol_t: float = 0.5,
+                 tol_r: float = 2e-3, slot_cap_min: int = 64):
+        self.N = int(n_points)
+        self.tol_t = float(tol_t)
+        self.tol_r = float(tol_r)
+        self.slot_cap_min = int(slot_cap_min)
+        self.slots: dict = {}
+        self.L = 0
+        self.idx = None
+        self.found = None
+        self.rel = None  # [L, 4, 4] f64 relative pose at last refresh
+        self.n_refresh = 0
+        self.n_reuse = 0
+
+    def _grow(self, need: int) -> None:
+        L2 = max(self.slot_cap_min, self.L or self.slot_cap_min)
+        while L2 < need:
+            L2 *= 2
+        if L2 == self.L:
+            return
+        idx2 = jnp.zeros((L2, self.N), jnp.int32)
+        fnd2 = jnp.zeros((L2, self.N), bool)
+        rel2 = np.tile(np.eye(4), (L2, 1, 1))
+        if self.L:
+            idx2 = idx2.at[: self.L].set(self.idx)
+            fnd2 = fnd2.at[: self.L].set(self.found)
+            rel2[: self.L] = self.rel
+        self.idx, self.found, self.rel, self.L = idx2, fnd2, rel2, L2
+
+    def prepare(self, links: "np.ndarray", mats: "np.ndarray"):
+        """links [E,2] int, mats [n,4,4] f64 current poses.  Returns
+        (links_pad [L,2] i32, link_mask [L] bool, stale_idx [L] i32,
+        n_stale) and records the refreshed relative poses."""
+        E = len(links)
+        new_set = set()
+        for l in links:
+            key = tuple(map(int, l))
+            if key not in self.slots:
+                self.slots[key] = len(self.slots)
+                new_set.add(key)
+        self._grow(len(self.slots))
+        slot = np.array(
+            [self.slots[tuple(map(int, l))] for l in links], np.int64
+        )
+        links_pad = np.zeros((self.L, 2), np.int32)
+        link_mask = np.zeros(self.L, bool)
+        links_pad[slot] = np.asarray(links, np.int32)
+        link_mask[slot] = True
+
+        Ti = mats[links[:, 0]]
+        Tj = mats[links[:, 1]]
+        Ri = Ti[:, :3, :3]
+        rel_R = np.einsum("lji,ljk->lik", Ri, Tj[:, :3, :3])
+        rel_t = np.einsum(
+            "lji,lj->li", Ri, Tj[:, :3, 3] - Ti[:, :3, 3]
+        )
+        old_R = self.rel[slot, :3, :3]
+        old_t = self.rel[slot, :3, 3]
+        dt = np.linalg.norm(rel_t - old_t, axis=1)
+        tr = np.einsum("lij,lij->l", rel_R, old_R)
+        ang = np.arccos(np.clip((tr - 1.0) * 0.5, -1.0, 1.0))
+        fresh_rel = np.zeros(E, bool)
+        if E:
+            known = np.array(
+                [tuple(map(int, l)) not in new_set for l in links]
+            )
+            fresh_rel = known & (dt <= self.tol_t) & (ang <= self.tol_r)
+        stale = ~fresh_rel
+        stale_slots = slot[stale]
+        self.n_refresh += int(stale.sum())
+        self.n_reuse += int(fresh_rel.sum())
+        rel_new = np.tile(np.eye(4), (stale.sum(), 1, 1))
+        rel_new[:, :3, :3] = rel_R[stale]
+        rel_new[:, :3, 3] = rel_t[stale]
+        self.rel[stale_slots] = rel_new
+        stale_idx = np.zeros(self.L, np.int32)
+        stale_idx[: len(stale_slots)] = stale_slots.astype(np.int32)
+        return links_pad, link_mask, stale_idx, int(stale.sum())
