@@ -121,3 +121,42 @@ def test_segmented_runs_without_closure():
     res = p.run(scans)
     assert len(res) == 7
     assert all(np.isfinite(s.transMat).all() for s in scans)
+
+
+def test_corr_cache_matches_uncached():
+    """The correspondence-cached closure path (lum_step_cached +
+    link_cov_cached, round-5 perf work) must match the uncached
+    recompute-everything path up to pairings that flipped inside the
+    drift tolerance — small pose deltas, same trajectory quality."""
+    scans = _circuit_scans()
+    a_scans = _copy_scans(scans)
+    b_scans = _copy_scans(scans)
+
+    def pipe():
+        p = _pipe(device_segments=False)
+        p.closure_lum_iterations = 1  # the cached 1-iteration relax
+        return p
+
+    pa = pipe()
+    pa.run(a_scans)
+    assert pa._lum_corr_cache.n_refresh > 0
+    assert pa._elch_corr_cache.n_refresh > 0
+
+    pb = pipe()
+    orig = pb._prepare_statics
+
+    def no_cache(scans_):
+        orig(scans_)
+        pb._lum_corr_cache = None
+        pb._elch_corr_cache = None
+
+    pb._prepare_statics = no_cache
+    pb.run(b_scans)
+
+    for a, b in zip(a_scans, b_scans):
+        np.testing.assert_allclose(
+            a.transMat[:3, 3], b.transMat[:3, 3], atol=2.0
+        )
+        np.testing.assert_allclose(
+            a.transMat[:3, :3], b.transMat[:3, :3], atol=5e-3
+        )
