@@ -669,43 +669,58 @@ def do_graph_slam(
         cache = params.corr_cache
         if (
             cache is not None
-            and int(params.iterations) == 1
             and local_grids is None
             and (mesh is None or mesh.devices.size == 1)
             and cache.N == int(locals_j.shape[1])
         ):
+            # host-looped cached relax: one lum_step_cached dispatch per
+            # iteration; links whose relative endpoint pose drifted less
+            # than the cache tolerance since their last NN keep their
+            # pairings (late iterations shift sub-mm, so a multi-
+            # iteration relax refreshes almost nothing after the first)
             from .lum_device import lum_step_cached
 
-            mats_np = np.tile(np.eye(4), (S, 1, 1))
-            for si, s in enumerate(scans):
-                mats_np[si] = s.transMat
-            lp2, lm2, stale_idx, n_stale = cache.prepare(
-                np.asarray(links, np.int64), mats_np
-            )
-            pos, theta, ret, cache.idx, cache.found = lum_step_cached(
-                locals_j, masks_j,
-                jnp.asarray(lp2), jnp.asarray(lm2),
-                jnp.asarray(pos0), jnp.asarray(theta0),
-                jnp.int32(n_real), jnp.float32(params.max_dist_match2),
-                cache.idx, cache.found,
-                jnp.asarray(stale_idx), jnp.int32(n_stale),
-            )
-            pos_h, theta_h, ret = jax.device_get((pos, theta, ret))
-            hist = np.concatenate([pos_h, theta_h], axis=-1)[None]
-            n_it = 1
-            ret = float(ret)
-            for k in range(n_it):
+            pos_c = pos0.astype(np.float64)
+            theta_c = theta0.astype(np.float64)
+            links64 = np.asarray(links, np.int64)
+            it = 0
+            ret = np.inf
+            while it < int(params.iterations) and ret > params.epsilon:
+                mats_np = np.asarray(
+                    math3d.euler_to_matrix4(pos_c, theta_c, xp=np)
+                )
+                lp2, lm2, stale_idx, n_stale = cache.prepare(
+                    links64, mats_np
+                )
+                pos_d, theta_d, ret_d, cache.idx, cache.found = (
+                    lum_step_cached(
+                        locals_j, masks_j,
+                        jnp.asarray(lp2), jnp.asarray(lm2),
+                        jnp.asarray(pos_c, dtype=jnp.float32),
+                        jnp.asarray(theta_c, dtype=jnp.float32),
+                        jnp.int32(n_real),
+                        jnp.float32(params.max_dist_match2),
+                        cache.idx, cache.found,
+                        jnp.asarray(stale_idx), jnp.int32(n_stale),
+                    )
+                )
+                pos_c, theta_c, ret = jax.device_get(
+                    (pos_d, theta_d, ret_d)
+                )
+                pos_c = pos_c.astype(np.float64)
+                theta_c = theta_c.astype(np.float64)
+                ret = float(ret)
                 for si, s in enumerate(scans):
                     if si == 0:
                         s.add_frame(AlgoType.LUM)
                         continue
                     T = np.asarray(
                         math3d.euler_to_matrix4(
-                            hist[k, si, :3].astype(np.float64),
-                            hist[k, si, 3:].astype(np.float64),
+                            pos_c[si], theta_c[si]
                         )
                     )
                     s.set_pose(T, AlgoType.LUM, record=True)
+                it += 1
             return ret
 
         kwargs = dict(
