@@ -669,15 +669,16 @@ def do_graph_slam(
         cache = params.corr_cache
         if (
             cache is not None
+            and int(params.iterations) == 1
             and local_grids is None
             and (mesh is None or mesh.devices.size == 1)
             and cache.N == int(locals_j.shape[1])
         ):
-            # host-looped cached relax: one lum_step_cached dispatch per
-            # iteration; links whose relative endpoint pose drifted less
-            # than the cache tolerance since their last NN keep their
-            # pairings (late iterations shift sub-mm, so a multi-
-            # iteration relax refreshes almost nothing after the first)
+            # cached path for the PER-CLOSURE 1-iteration relax only.
+            # Measured (h468): extending it to the multi-iteration final
+            # relax degraded ATE 18.3 -> 28.4 cm — within-relax pairing
+            # reuse interferes with LUM convergence, while across-closure
+            # reuse does not (the closure relax is a single damped step).
             from .lum_device import lum_step_cached
 
             pos_c = pos0.astype(np.float64)
