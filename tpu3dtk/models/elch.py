@@ -118,25 +118,27 @@ def graph_balancer(edges, weights_per_edge, first, last, n):
         return np.atleast_2d(D), np.atleast_2d(P)
 
     while crossings:
-        best = None  # (dist, s, e, prevmap, distmap)
+        best = None  # (dist, si, e)
         drop = []
         D, P = _all_dijkstra(crossings)
+        cross_arr = np.asarray(crossings)
         for si, s in enumerate(crossings):
-            dist = {
-                v: D[si, v] for v in range(n) if np.isfinite(D[si, v])
-            }
-            prev = {
-                v: int(P[si, v]) for v in range(n) if P[si, v] >= 0
-            }
-            prev[s] = s
-            reachable = False
-            for e in crossings[si + 1 :]:
-                if e in prev and prev[e] != e:
-                    reachable = True
-                    if best is None or dist[e] < best[0]:
-                        best = (dist[e], s, e, prev, dist)
-            if not reachable and best is None:
+            later = cross_arr[si + 1 :]
+            reach = P[si, later] >= 0  # == original `prev[e] != e` test
+            if reach.any():
+                dd = np.where(reach, D[si, later], np.inf)
+                k = int(np.argmin(dd))
+                if best is None or dd[k] < best[0]:
+                    best = (float(dd[k]), si, int(later[k]))
+            elif best is None:
                 drop.append(s)
+        if best is not None:
+            _, bsi, e = best
+            s = crossings[bsi]
+            dist = D[bsi]
+            prev = P[bsi].copy()
+            prev[s] = s
+            best = (best[0], s, e, prev, dist)
         for s in drop:
             branches.append(s)
             crossings.remove(s)
